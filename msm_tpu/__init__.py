@@ -1,0 +1,81 @@
+"""msm_tpu — a TPU-native multi-scalar multiplication (MSM) framework.
+
+Built from scratch in JAX/XLA/Pallas with the capabilities of the
+ICME-Lab/msm-webgpu reference (Rust/WebGPU cuZK MSM over BN254 G1):
+
+- ``msm_tpu.params``      — curve/field/limb configuration (ShaderManager analogue)
+- ``msm_tpu.ops``         — batched limb bigint, Montgomery/Barrett field,
+                            branch-free Jacobian curve kernels
+- ``msm_tpu.models``      — the cuZK pipeline and the naive Pippenger pipeline
+- ``msm_tpu.parallel``    — multi-chip sharded MSM (mesh + point-add collectives)
+- ``msm_tpu.oracle``      — CPU oracles (pure-python + C++), halo2curves stand-in
+- ``msm_tpu.utils``       — limb/byte serialization
+
+Public API mirrors the reference crate root (``src/lib.rs:20-137``):
+``run_tpu_msm`` ~ ``run_webgpu_msm``; ``cpu_msm`` ~ ``cpu_msm``;
+``sample_points`` / ``sample_scalars`` / ``*_to_bytes`` as in lib.rs:20-65.
+"""
+
+from msm_tpu.params import (
+    BN254,
+    BLS12_377,
+    PALLAS,
+    CURVES,
+    DEFAULT_CONFIG,
+    CurveSpec,
+    MsmConfig,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "BN254",
+    "BLS12_377",
+    "PALLAS",
+    "CURVES",
+    "DEFAULT_CONFIG",
+    "CurveSpec",
+    "MsmConfig",
+    "cpu_msm",
+    "run_tpu_msm",
+    "sample_points",
+    "sample_scalars",
+]
+
+
+def cpu_msm(points, scalars, curve=BN254):
+    """CPU oracle MSM (the reference's ``cpu_msm``, lib.rs:45-47).
+
+    Uses the C++ native oracle when built, else the pure-python Pippenger.
+    ``points``: list of (x, y) affine int pairs or oracle JPoints;
+    ``scalars``: list of ints. Returns an oracle ``JPoint``.
+    """
+    from msm_tpu.oracle import best_msm
+
+    return best_msm(points, scalars, curve=curve)
+
+
+def run_tpu_msm(points, scalars, config=DEFAULT_CONFIG):
+    """End-to-end TPU MSM (the reference's ``run_webgpu_msm``, lib.rs:76-82).
+
+    ``points``: affine (x, y) int pairs; ``scalars``: ints.
+    Returns the result as an affine (x, y) int pair (or None for identity).
+    """
+    from msm_tpu.models.cuzk import compute_msm
+
+    return compute_msm(points, scalars, config=config)
+
+
+def sample_points(n: int, curve=BN254, seed: int = 0):
+    """Random affine points (reference ``sample_points``, lib.rs:30-42)."""
+    from msm_tpu.oracle.pyecc import Curve
+
+    cv = Curve(curve)
+    return [cv.to_affine(p) for p in cv.sample_points(n, seed=seed)]
+
+
+def sample_scalars(n: int, curve=BN254, seed: int = 1):
+    """Random scalars (reference ``sample_scalars``, lib.rs:20-28)."""
+    from msm_tpu.oracle.pyecc import Curve
+
+    return Curve(curve).sample_scalars(n, seed=seed)

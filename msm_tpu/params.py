@@ -1,0 +1,238 @@
+"""Curve / field / limb-geometry parameters for the TPU MSM framework.
+
+This is the TPU-native analogue of the reference's configuration layer:
+
+- compile-time constants ``WORD_SIZE`` / ``P`` / ``PARAMS``
+  (reference: ``src/cuzk/msm.rs:34-46``),
+- Montgomery parameter derivation — egcd, ``rinv``/``n0``, Barrett ``mu``
+  (reference: ``src/cuzk/utils.rs:261-373``, ``calc_rinv_and_n0`` at
+  ``utils.rs:339-348``, ``gen_mu`` at ``utils.rs:261-270``),
+- limb-count rule ``num_words = ceil(bits / word_size)``
+  (reference: ``src/cuzk/msm.rs:24-31``).
+
+Unlike the reference — which bakes constants into WGSL shader source via
+Handlebars templating (``src/cuzk/shader_manager.rs:145-165``) — here the
+config is a frozen dataclass whose derived values are closed over by jitted
+kernel factories; ``jax.jit`` plays the role of the shader compiler.
+
+Everything is parameterized by the curve from day one (the reference supports
+BN254 in the cuZK path and BN254+Pallas in the naive path; we ship BN254 and
+BLS12-377 parameter sets).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+
+# ---------------------------------------------------------------------------
+# Curve specifications (python-int level)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class CurveSpec:
+    """A short-Weierstrass curve y^2 = x^3 + a*x + b over GF(modulus)."""
+
+    name: str
+    modulus: int  # base field q
+    order: int  # scalar field (group order) r
+    a: int
+    b: int
+    gx: int  # generator, affine
+    gy: int
+
+    @property
+    def modulus_bits(self) -> int:
+        return self.modulus.bit_length()
+
+    @property
+    def order_bits(self) -> int:
+        return self.order.bit_length()
+
+
+#: BN254 G1 (aka alt_bn128). Matches the modulus baked into the reference at
+#: ``src/cuzk/msm.rs:37-43`` and halo2curves' ``bn256::G1``.
+BN254 = CurveSpec(
+    name="bn254",
+    modulus=21888242871839275222246405745257275088696311157297823662689037894645226208583,
+    order=21888242871839275222246405745257275088548364400416034343698204186575808495617,
+    a=0,
+    b=3,
+    gx=1,
+    gy=2,
+)
+
+#: BLS12-377 G1 — the second-curve parameterization (the reference's ZPrize
+#: ancestor targeted BLS12-377; its naive path proves two-curve generality
+#: with Pallas — ``src/naive/wgsl/pallas/``).
+BLS12_377 = CurveSpec(
+    name="bls12_377",
+    modulus=258664426012969094010652733694893533536393512754914660539884262666720468348340822774968888139573360124440321458177,
+    order=8444461749428370424248824938781546531375899335154063827935233455917409239041,
+    a=0,
+    b=1,
+    gx=81937999373150964239938255573465948239988671502647976594219695644855304257327692006745978603320413799295628339695,
+    gy=241266749859715473739788878240585681733927191168601896383759122102112907357779751001206799952863815012735208165030,
+)
+
+#: Pasta/Pallas curve — kept for parity with the reference's naive path
+#: second curve (``src/naive/wgsl/pallas/field.wgsl:4-31``).
+PALLAS = CurveSpec(
+    name="pallas",
+    modulus=28948022309329048855892746252171976963363056481941560715954676764349967630337,
+    order=28948022309329048855892746252171976963363056481941647379679742748393362948097,
+    a=0,
+    b=5,
+    gx=28948022309329048855892746252171976963363056481941560715954676764349967630336,  # -1
+    gy=2,
+)
+
+CURVES = {c.name: c for c in (BN254, BLS12_377, PALLAS)}
+
+
+# ---------------------------------------------------------------------------
+# Montgomery / Barrett parameter derivation
+# ---------------------------------------------------------------------------
+
+
+def egcd(a: int, b: int) -> tuple[int, int, int]:
+    """Extended gcd: returns (g, x, y) with a*x + b*y = g.
+
+    Reference equivalent: ``src/cuzk/utils.rs:293-300``.
+    """
+    if a == 0:
+        return b, 0, 1
+    g, x, y = egcd(b % a, a)
+    return g, y - (b // a) * x, x
+
+
+def calc_rinv_and_n0(p: int, r: int, word_size: int) -> tuple[int, int]:
+    """Derive the Montgomery inverse of R and the REDC constant n0.
+
+    rinv satisfies ``r * rinv ≡ 1 (mod p)``; n0 = ``-p^-1 mod 2^word_size``
+    (the per-limb REDC multiplier). Reference: ``src/cuzk/utils.rs:339-348``.
+    """
+    g, rinv, pprime = egcd(r % p, p)
+    assert g == 1
+    rinv %= p
+    # n0 = -p^{-1} mod 2^w  (derive from p^{-1} mod 2^w)
+    w = 1 << word_size
+    pinv = pow(p, -1, w)
+    n0 = (-pinv) % w
+    assert (p * n0) % w == w - 1  # p * n0 ≡ -1 (mod 2^w)
+    return rinv, n0
+
+
+def gen_mu(p: int, num_bits: int) -> int:
+    """Barrett constant mu = floor(4^k / p) with 4^k the square of the first
+    power of two above p. Reference: ``src/cuzk/utils.rs:261-270``.
+    """
+    x = 1
+    while x < p:
+        x <<= 1
+    return (x * x) // p
+
+
+# ---------------------------------------------------------------------------
+# The full MSM configuration
+# ---------------------------------------------------------------------------
+
+
+def calc_num_words(word_size: int, num_bits: int) -> int:
+    """ceil(num_bits / word_size) — reference ``src/cuzk/msm.rs:24-31``."""
+    return -(-num_bits // word_size)
+
+
+@dataclass(frozen=True)
+class MsmConfig:
+    """Static configuration closed over by every kernel factory.
+
+    TPU-native analogue of ``ShaderManager``'s template data
+    (``src/cuzk/shader_manager.rs:54-100``): limb geometry, window geometry
+    and the baked field constants, all derived from (curve, word_size,
+    chunk_size).
+    """
+
+    curve: CurveSpec
+    word_size: int = 13  # limb bit-width (reference WORD_SIZE, msm.rs:34)
+    chunk_size: int = 16  # scalar window bit-width (msm.rs:79)
+
+    # ---- limb geometry -----------------------------------------------------
+    @property
+    def num_words(self) -> int:
+        return calc_num_words(self.word_size, self.curve.modulus_bits)
+
+    @property
+    def mask(self) -> int:
+        return (1 << self.word_size) - 1
+
+    # ---- scalar-window geometry -------------------------------------------
+    @property
+    def scalar_bits(self) -> int:
+        # scalars are serialized as 256-bit LE (reference packs Fr into 32
+        # bytes, lib.rs:50-57); windows tile the full 256 bits like
+        # num_subtasks = ceil(256/chunk_size) at msm.rs:82.
+        return 256 if self.curve.order_bits <= 256 else 8 * (
+            (self.curve.order_bits + 7) // 8
+        )
+
+    @property
+    def num_subtasks(self) -> int:
+        return -(-self.scalar_bits // self.chunk_size)
+
+    @property
+    def num_buckets(self) -> int:
+        """Signed-bucket count per subtask: |digit| in [0, 2^(c-1)]."""
+        return (1 << (self.chunk_size - 1)) + 1
+
+    @property
+    def index_shift(self) -> int:
+        return 1 << (self.chunk_size - 1)
+
+    # ---- Montgomery / Barrett constants -----------------------------------
+    @property
+    def r(self) -> int:
+        """Montgomery radix R = 2^(word_size*num_words) mod p."""
+        return (1 << (self.word_size * self.num_words)) % self.curve.modulus
+
+    @functools.cached_property
+    def _rinv_n0(self) -> tuple[int, int]:
+        return calc_rinv_and_n0(self.curve.modulus, self.r, self.word_size)
+
+    @property
+    def rinv(self) -> int:
+        return self._rinv_n0[0]
+
+    @property
+    def n0(self) -> int:
+        return self._rinv_n0[1]
+
+    @property
+    def r2(self) -> int:
+        """R^2 mod p — multiply by this (mont_mul) to enter Montgomery form."""
+        return (self.r * self.r) % self.curve.modulus
+
+    @functools.cached_property
+    def mu(self) -> int:
+        return gen_mu(self.curve.modulus, self.curve.modulus_bits)
+
+    @property
+    def slack(self) -> int:
+        """Bits of headroom between num_words*word_size and the first power
+        of two above p (used by Barrett's high-bits extraction; reference
+        ``shader_manager.rs`` bakes this as `slack`)."""
+        k = self.curve.modulus_bits
+        return self.num_words * self.word_size - k
+
+    def __post_init__(self) -> None:
+        if not (8 <= self.word_size <= 16):
+            raise ValueError("word_size must be in [8, 16] for int32 lanes")
+        if not (1 <= self.chunk_size <= 16):
+            raise ValueError("chunk_size must be in [1, 16]")
+
+
+#: Default config — mirrors the reference's production choice: 13-bit limbs,
+#: 20 words, 16-bit windows, 16 subtasks (``src/cuzk/msm.rs:34,79-82``).
+DEFAULT_CONFIG = MsmConfig(curve=BN254)
