@@ -1,0 +1,127 @@
+"""Shared host<->device plumbing for the MSM pipelines.
+
+The host/device split mirrors the reference's ``compute_msm``
+(``src/cuzk/msm.rs:75-417``): the host pads inputs to a power of two, ships
+coordinates/scalars as 16x16-bit words (the reference's stage-1 wire format,
+``decompose_scalars.template.wgsl:41-53``), the device runs the heavy stages,
+and the host finishes with the per-subtask Horner sum in exact integer
+arithmetic (reference finishes on CPU the same way, ``msm.rs:391-416`` —
+on TPU the ~255-point-op Horner tail is latency-bound single-lane work that
+belongs on the host).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from msm_tpu.ops.curve import CurveCtx, PointBatch
+from msm_tpu.ops.decompose import extract_windows
+from msm_tpu.oracle.pyecc import Curve, IDENTITY, JPoint
+from msm_tpu.params import MsmConfig
+from msm_tpu.utils import limbs as L
+
+
+def pad_size(n: int) -> int:
+    """Next power of two >= max(n, 16) (reference pads to pow2,
+    msm.rs:48-61)."""
+    n = max(n, 16)
+    return 1 << (n - 1).bit_length()
+
+
+def ints_to_u16_array(xs: list[int], nbytes: int = 32) -> np.ndarray:
+    """Fast path: python ints -> [n, nbytes/2] uint16-in-int32 array."""
+    buf = b"".join(x.to_bytes(nbytes, "little") for x in xs)
+    return (
+        np.frombuffer(buf, dtype="<u2").reshape(len(xs), nbytes // 2)
+        .astype(np.int32)
+    )
+
+
+def pad_inputs(
+    points: list[tuple[int, int]],
+    scalars: list[int],
+    cfg: MsmConfig,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pad to a power of two with zero scalars + generator points (zero
+    digits land in bucket 0, whose multiplier is 0 — inert in both pipelines;
+    the reference instead pads with +-cancelling random pairs, msm.rs:48-61)
+    and serialize to u16-word arrays."""
+    n = len(points)
+    assert n == len(scalars)
+    N = pad_size(n)
+    gx, gy = cfg.curve.gx % cfg.curve.modulus, cfg.curve.gy % cfg.curve.modulus
+    px = [p[0] for p in points] + [gx] * (N - n)
+    py = [p[1] for p in points] + [gy] * (N - n)
+    ks = list(scalars) + [0] * (N - n)
+    nb = (cfg.scalar_bits + 7) // 8
+    cb = (cfg.curve.modulus_bits + 7) // 8
+    cb = max(cb, 2)
+    return (
+        ints_to_u16_array(px, cb),
+        ints_to_u16_array(py, cb),
+        ints_to_u16_array(ks, nb),
+    )
+
+
+def u16_to_mont_points(
+    ec: CurveCtx, x_u16: jax.Array, y_u16: jax.Array
+) -> PointBatch:
+    """Device-side stage-1 point conversion: 16-bit words -> word_size-bit
+    limbs -> Montgomery form (decompose_scalars.template.wgsl:56-70)."""
+    cfg = ec.cfg
+    xs = extract_windows(x_u16, cfg.word_size, cfg.num_words).T  # [n, L]
+    ys = extract_windows(y_u16, cfg.word_size, cfg.num_words).T
+    xm = ec.f.to_mont(xs)
+    ym = ec.f.to_mont(ys)
+    return ec.from_affine_mont(xm, ym)
+
+
+def export_points_std(ec: CurveCtx, pts: PointBatch) -> jax.Array:
+    """Montgomery projective [S] batch -> standard-form limbs [S, 3, L]
+    (device-side from-Montgomery, the analogue of the host *rinv pass at
+    msm.rs:354-380)."""
+    f = ec.f
+    return jnp.stack(
+        [
+            f.canonical(f.from_mont(pts.x)),
+            f.canonical(f.from_mont(pts.y)),
+            f.canonical(f.from_mont(pts.z)),
+        ],
+        axis=-2,
+    )
+
+
+def window_sums_to_result(
+    window_sums_std: np.ndarray, cfg: MsmConfig
+) -> JPoint:
+    """Host finalization: Horner over the per-subtask window sums in exact
+    python-int arithmetic (msm.rs:409-416). Input [S, 3, L] standard-form
+    limbs of homogeneous projective points."""
+    cv = Curve(cfg.curve)
+    p = cfg.curve.modulus
+    ws = []
+    arr = np.asarray(window_sums_std)
+    for t in range(arr.shape[0]):
+        x = L.limbs_to_int(arr[t, 0], cfg.word_size)
+        y = L.limbs_to_int(arr[t, 1], cfg.word_size)
+        z = L.limbs_to_int(arr[t, 2], cfg.word_size)
+        if z == 0:
+            ws.append(IDENTITY)
+        else:
+            zi = pow(z, -1, p)  # homogeneous: affine = (x/z, y/z)
+            ws.append(cv.from_affine(x * zi % p, y * zi % p))
+    acc = ws[-1]
+    for wpt in reversed(ws[:-1]):
+        for _ in range(cfg.chunk_size):
+            acc = cv.double(acc)
+        acc = cv.add(acc, wpt)
+    return acc
+
+
+def result_to_affine(res: JPoint, cfg: MsmConfig):
+    """JPoint -> affine (x, y) ints, or None for the identity."""
+    if res.is_identity():
+        return None
+    return Curve(cfg.curve).to_affine(res)

@@ -1,0 +1,101 @@
+"""The cuZK MSM pipeline on TPU — the production model.
+
+TPU-native re-design of the reference's 4-stage GPU pipeline
+(``src/cuzk/msm.rs:75-417``):
+
+  stage 1  convert + decompose  -> vectorized limb extraction + to-Montgomery
+                                   + signed window recode (ops/decompose.py)
+  stage 2  sparse transpose     -> lax.sort_key_val by bucket key
+  stage 3  SMVP                 -> blocked prefix point-scan + boundary
+                                   prefix-differences (ops/scan.py)
+  stage 4  BPR                  -> lane-parallel two-phase running-sum
+                                   reduction (ops/scan.py)
+  finish   per-subtask Horner   -> host, exact ints (like msm.rs:391-416)
+
+Everything between the u16-word inputs and the [S, 3, L] window-sum output is
+ONE jitted XLA program per (config, n) — jax.jit plays the role the WGSL
+shader compiler + command-encoder submission play in the reference
+(single submit for all stages, gpu.rs:119-121).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msm_tpu.models import common
+from msm_tpu.models.geometry import MsmGeometry, pick_geometry
+from msm_tpu.ops.curve import CurveCtx, get_curve_ctx
+from msm_tpu.ops.decompose import decompose_signed
+from msm_tpu.ops.scan import bucket_accumulate, bucket_reduce_blocked
+from msm_tpu.oracle.pyecc import JPoint
+from msm_tpu.params import DEFAULT_CONFIG, MsmConfig
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "geom")
+)
+def cuzk_window_sums(
+    x_u16: jax.Array,
+    y_u16: jax.Array,
+    s_u16: jax.Array,
+    cfg: MsmConfig,
+    geom: MsmGeometry,
+) -> jax.Array:
+    """Device pipeline: u16-word inputs [n, 16] -> window sums [S, 3, L]
+    (standard-form projective limbs)."""
+    ec = get_curve_ctx(cfg)
+    pts = common.u16_to_mont_points(ec, x_u16, y_u16)
+    keys, signs = decompose_signed(s_u16, cfg.chunk_size, cfg.num_subtasks)
+
+    def subtask(args):
+        k, s = args
+        buckets = bucket_accumulate(
+            ec, pts, k, cfg.num_buckets, geom.num_rows, signs=s
+        )
+        w = bucket_reduce_blocked(ec, buckets, geom.bpr_threads)
+        return jnp.stack([w.x, w.y, w.z])
+
+    ws_m = jax.lax.map(
+        subtask, (keys, signs), batch_size=min(geom.subtask_batch, cfg.num_subtasks)
+    )  # [S, 3, L] Montgomery
+    from msm_tpu.ops.curve import PointBatch
+
+    wpts = PointBatch(ws_m[:, 0], ws_m[:, 1], ws_m[:, 2])
+    return common.export_points_std(ec, wpts)
+
+
+def compute_msm(
+    points: list[tuple[int, int]],
+    scalars: list[int],
+    config: MsmConfig = DEFAULT_CONFIG,
+    geometry: MsmGeometry | None = None,
+) -> tuple[int, int] | None:
+    """End-to-end MSM: affine int points + int scalars -> affine (x, y) or
+    None for identity. The reference equivalent is compute_msm
+    (msm.rs:75-417) behind run_webgpu_msm (lib.rs:76-82)."""
+    res = compute_msm_jpoint(points, scalars, config, geometry)
+    return common.result_to_affine(res, config)
+
+
+def compute_msm_jpoint(
+    points: list[tuple[int, int]],
+    scalars: list[int],
+    config: MsmConfig = DEFAULT_CONFIG,
+    geometry: MsmGeometry | None = None,
+) -> JPoint:
+    """Like compute_msm but returns the oracle JPoint (test convenience)."""
+    if len(points) == 0:
+        from msm_tpu.oracle.pyecc import IDENTITY
+
+        return IDENTITY
+    x_u16, y_u16, s_u16 = common.pad_inputs(points, scalars, config)
+    n = x_u16.shape[0]
+    geom = geometry or pick_geometry(n, config.chunk_size)
+    ws = cuzk_window_sums(
+        jnp.asarray(x_u16), jnp.asarray(y_u16), jnp.asarray(s_u16), config, geom
+    )
+    return common.window_sums_to_result(np.asarray(ws), config)

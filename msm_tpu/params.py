@@ -162,7 +162,12 @@ class MsmConfig:
     # ---- limb geometry -----------------------------------------------------
     @property
     def num_words(self) -> int:
-        return calc_num_words(self.word_size, self.curve.modulus_bits)
+        """ceil((bits + 6) / word_size): the reference's rule (msm.rs:24-31)
+        plus >= 6 bits of slack so R >= 64p — required by the lazy-reduction
+        field algebra (ops/field.py). BN254 @ 13 bits still gives 20 words,
+        matching the reference; zero-slack moduli (BLS12-377: 377 = 29*13)
+        gain one headroom limb."""
+        return calc_num_words(self.word_size, self.curve.modulus_bits + 6)
 
     @property
     def mask(self) -> int:

@@ -34,10 +34,16 @@ def int_to_limbs(x: int, word_size: int, num_words: int) -> np.ndarray:
 
 
 def limbs_to_int(limbs: np.ndarray, word_size: int) -> int:
-    """Inverse of int_to_limbs (utils.rs:129-147 equivalent)."""
+    """Inverse of int_to_limbs (utils.rs:129-147 equivalent). Handles signed
+    (balanced-representation) limbs exactly: value = sum limb_i * 2^(w*i)."""
+    arr = np.asarray(limbs)
+    if arr.dtype == np.uint32 or arr.dtype == np.uint64:
+        vals = arr.astype(np.uint64).tolist()
+    else:
+        vals = arr.astype(np.int64).tolist()
     x = 0
-    for i, limb in enumerate(np.asarray(limbs, dtype=np.uint64).tolist()):
-        x |= int(limb) << (i * word_size)
+    for i, limb in enumerate(vals):
+        x += int(limb) << (i * word_size)
     return x
 
 

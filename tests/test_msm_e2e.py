@@ -1,0 +1,84 @@
+"""End-to-end MSM tests for both pipelines vs the CPU oracle — mirrors the
+reference's e2e suite (tests/test_webgpu_msm_cuzk_*.rs via
+tests_wasm_pack::test_webgpu_msm_cuzk, lib.rs:152-167): compute on the
+accelerator pipeline, assert exact group equality with cpu_msm.
+
+Tests here run at small n on the CPU backend; the 2^16..2^20 scales run on
+real hardware via bench.py / --runslow."""
+
+import numpy as np
+import pytest
+
+from msm_tpu.models.cuzk import compute_msm_jpoint
+from msm_tpu.models.naive import NAIVE_CONFIG, compute_msm_naive
+from msm_tpu.oracle.pyecc import Curve
+from msm_tpu.params import BN254, MsmConfig
+
+CV = Curve(BN254)
+
+
+def _fixture(n, seed=0):
+    pts_j = CV.sample_points(n, seed=seed)
+    pts = [CV.to_affine(p) for p in pts_j]
+    ks = CV.sample_scalars(n, seed=seed + 50)
+    return pts, ks
+
+
+def test_naive_msm_small():
+    pts, ks = _fixture(33, seed=1)  # non-pow2: exercises padding
+    got = compute_msm_naive(pts, ks)
+    want = CV.msm([CV.from_affine(*p) for p in pts], ks)
+    assert CV.eq(got, want)
+
+
+def test_naive_msm_duplicates_and_edges():
+    pts, _ = _fixture(4, seed=2)
+    pts = [pts[0], pts[0], pts[1], pts[2]]  # duplicate points (P+P in bucket)
+    ks = [1, 1, 0, BN254.order - 1]
+    got = compute_msm_naive(pts, ks)
+    want = CV.msm([CV.from_affine(*p) for p in pts], ks)
+    assert CV.eq(got, want)
+
+
+def test_cuzk_msm_small():
+    pts, ks = _fixture(35, seed=3)
+    # small windows keep bucket counts small on CPU backend
+    cfg = MsmConfig(curve=BN254, chunk_size=8)
+    got = compute_msm_jpoint(pts, ks, config=cfg)
+    want = CV.msm([CV.from_affine(*p) for p in pts], ks)
+    assert CV.eq(got, want)
+
+
+def test_cuzk_msm_production_windows():
+    # chunk_size=16 => 2^15+1 buckets; keep n small, it still must be exact
+    pts, ks = _fixture(17, seed=4)
+    got = compute_msm_jpoint(pts, ks)
+    want = CV.msm([CV.from_affine(*p) for p in pts], ks)
+    assert CV.eq(got, want)
+
+
+def test_cuzk_msm_edge_scalars():
+    pts, _ = _fixture(6, seed=5)
+    ks = [0, 1, BN254.order - 1, 2, (1 << 255) % BN254.order, 0]
+    cfg = MsmConfig(curve=BN254, chunk_size=8)
+    got = compute_msm_jpoint(pts, ks, config=cfg)
+    want = CV.msm([CV.from_affine(*p) for p in pts], ks)
+    assert CV.eq(got, want)
+
+
+def test_cuzk_result_is_identity():
+    pts, _ = _fixture(3, seed=6)
+    # k*P + (order-k)*P + 0*Q == identity
+    pts2 = [pts[0], pts[0], pts[1]]
+    ks = [5, BN254.order - 5, 0]
+    cfg = MsmConfig(curve=BN254, chunk_size=8)
+    got = compute_msm_jpoint(pts2, ks, config=cfg)
+    assert got.is_identity()
+
+
+@pytest.mark.slow
+def test_cuzk_msm_4096():
+    pts, ks = _fixture(4096, seed=7)
+    got = compute_msm_jpoint(pts, ks)
+    want = CV.msm([CV.from_affine(*p) for p in pts], ks)
+    assert CV.eq(got, want)
