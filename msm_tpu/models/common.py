@@ -43,14 +43,16 @@ def pad_inputs(
     points: list[tuple[int, int]],
     scalars: list[int],
     cfg: MsmConfig,
+    multiple: int = 1,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Pad to a power of two with zero scalars + generator points (zero
     digits land in bucket 0, whose multiplier is 0 — inert in both pipelines;
     the reference instead pads with +-cancelling random pairs, msm.rs:48-61)
-    and serialize to u16-word arrays."""
+    and serialize to u16-word arrays. ``multiple`` raises the floor so every
+    mesh shard gets an equal power-of-two slice (sharded path)."""
     n = len(points)
     assert n == len(scalars)
-    N = pad_size(n)
+    N = pad_size(max(n, multiple))
     gx, gy = cfg.curve.gx % cfg.curve.modulus, cfg.curve.gy % cfg.curve.modulus
     px = [p[0] for p in points] + [gx] * (N - n)
     py = [p[1] for p in points] + [gy] * (N - n)

@@ -1,22 +1,25 @@
 """Test config: run all tests on CPU with 8 virtual devices.
 
 Multi-chip sharding logic is validated without TPU hardware exactly as the
-driver does (xla_force_host_platform_device_count) — the TPU analogue of the
-reference's "CPU models that simulate thread decomposition" testing pattern
-(``src/cuzk/test/utils.rs``).
+driver does — the TPU analogue of the reference's "CPU models that simulate
+thread decomposition" testing pattern (``src/cuzk/test/utils.rs``).
+
+The image pins the `axon` TPU platform via sitecustomize, overriding
+JAX_PLATFORMS env vars — so the platform is forced through jax.config
+(set MSM_TPU_TEST_PLATFORM to opt out, e.g. to smoke-test on real TPU).
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+_platform = os.environ.get("MSM_TPU_TEST_PLATFORM", "cpu")
+jax.config.update("jax_platforms", _platform)
+if _platform == "cpu":
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import pytest  # noqa: E402
 
