@@ -23,6 +23,24 @@ from msm_tpu.params import MsmConfig
 from msm_tpu.utils import limbs as L
 
 
+def subtask_batch(geom, cfg: MsmConfig) -> int:
+    """How many subtasks to process concurrently in the lax.map.
+
+    With the Pallas fused point-add enabled the map must run with
+    batch_size=1 (a pure scan): vmapping the kernel inside the full
+    accumulate+reduce program miscompiles on the v5e Mosaic stack at
+    production bucket counts (NB=32769, T=2048, batch>=4 — verified wrong
+    vs XLA while every sub-program in isolation verifies correct). Subtask
+    lanes are wide enough that sequential subtasks cost nothing at the
+    benchmark sizes.
+    """
+    from msm_tpu.ops.curve import _pallas_enabled
+
+    if _pallas_enabled():
+        return 1
+    return min(geom.subtask_batch, cfg.num_subtasks)
+
+
 def pad_size(n: int) -> int:
     """Next power of two >= max(n, 16) (reference pads to pow2,
     msm.rs:48-61)."""

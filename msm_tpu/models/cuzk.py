@@ -60,7 +60,7 @@ def cuzk_window_sums(
         return jnp.stack([w.x, w.y, w.z])
 
     ws_m = jax.lax.map(
-        subtask, (keys, signs), batch_size=min(geom.subtask_batch, cfg.num_subtasks)
+        subtask, (keys, signs), batch_size=common.subtask_batch(geom, cfg)
     )  # [S, 3, L] Montgomery
     from msm_tpu.ops.curve import PointBatch
 

@@ -53,7 +53,7 @@ def naive_window_sums(
         return jnp.stack([w.x, w.y, w.z])
 
     ws_m = jax.lax.map(
-        subtask, keys, batch_size=min(geom.subtask_batch, cfg.num_subtasks)
+        subtask, keys, batch_size=common.subtask_batch(geom, cfg)
     )
     wpts = PointBatch(ws_m[:, 0], ws_m[:, 1], ws_m[:, 2])
     return common.export_points_std(ec, wpts)

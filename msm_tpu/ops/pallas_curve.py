@@ -1,0 +1,191 @@
+"""Pallas TPU kernel: fused batched elliptic-curve point addition.
+
+Why this kernel exists: the XLA path in ``ops/field.py`` implements
+``mont_mul`` as a 20-step ``lax.scan``; every step round-trips the [B, L+1]
+accumulator through HBM, so one complete point add (12 mont_muls) moves
+~80x more HBM bytes than the operands themselves — measured ~10-20 ms per
+65536-lane add on v5e, pure bandwidth. This kernel fuses the ENTIRE add
+(12 Montgomery multiplies + all field add/sub/sweep steps, RCB16 complete
+formulas) into one Pallas program: operands are read once, the whole
+computation stays in VMEM, results are written once.
+
+Layout: the framework stores limb tensors ``[batch, L]`` (limb axis last,
+matching the reference's ``BigInt{limbs:[u32;20]}`` vectorized —
+``structs.template.wgsl:1-17``). Batch must ride the 128-wide lane axis for
+VPU efficiency, so the kernel transposes each tile to limbs-first
+``[L, tile]`` on load and back on store; the transpose cost is amortized
+over the ~25k vector ops of the fused add.
+
+Montgomery multiply: **fixed-position CIOS on a VMEM scratch accumulator**
+(41 rows x tile lanes). Unlike the shifting-window formulation in
+``ops/field.py``, nothing is ever concatenated or rolled — phase 1
+accumulates all 400 limb products in place (20 static-slice += ops), one
+parallel sweep rebalances, then 20 REDC steps add ``m_i * q`` in place with
+a single-row carry push. Low rows end ≡ 0 mod 2^w, rows L..2L are the
+result. This is the int32-lane re-derivation of the reference's
+carry-omission analysis (``mont_pro_product.template.wgsl:18-23``): phase-1
+columns stay < 20*2^26 < 2^31, and post-sweep REDC columns stay
+< 2^17.4 + 20*2^26 + 2^18 < 2^31.
+
+The result is a *balanced* representation congruent to the FieldCtx result
+mod p (not bit-identical — a different but equally-bounded limb encoding);
+exit paths canonicalize exactly as on the XLA path.
+
+Reference kernels replaced: ``point_add`` (``ec.template.wgsl:36-86``) and
+``montgomery_product`` (``mont_pro_product.template.wgsl:11-35``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from msm_tpu.params import MsmConfig
+from msm_tpu.utils.limbs import int_to_limbs
+
+#: lane-tile width (batch elements per kernel instance). 256 is the largest
+#: tile whose fully-unrolled kernel fits the 16 MB VMEM stack budget on v5e
+#: (512 OOMs at 18.2 MB) and measures fastest (2.0 ms / 65536-lane add).
+DEFAULT_TILE = 256
+
+
+def _sweep_cols(x: jax.Array, w: int, mask: int) -> jax.Array:
+    """Balanced carry sweep along axis 0 (limbs-first): move each limb's
+    overflow one limb up; the top limb keeps its own overflow (exact).
+    Mirrors ``bigint.sweep`` for the [K, T] layout."""
+    hi = x >> w
+    lo = x & mask
+    shifted = jnp.concatenate([jnp.zeros_like(hi[:1]), hi[:-1]], axis=0)
+    out = lo + shifted
+    top = out[-1:] + (hi[-1:] << w)
+    return jnp.concatenate([out[:-1], top], axis=0)
+
+
+def _make_field_ops(cfg: MsmConfig, q_col: jax.Array, acc_ref):
+    """Limbs-first field ops on [L, T] int32 values.
+
+    ``q_col``: modulus limbs [L, 1] (traced input — Pallas kernels cannot
+    capture array constants). ``acc_ref``: [2L+1, T] VMEM scratch reused by
+    every Montgomery multiply in the kernel.
+    """
+    w, L, mask = cfg.word_size, cfg.num_words, cfg.mask
+    n0 = np.int32(cfg.n0)
+
+    def sweep(x):
+        return _sweep_cols(x, w, mask)
+
+    def add(a, b):
+        return sweep(a + b)
+
+    def sub(a, b):
+        return sweep(a - b)
+
+    def mont_mul(a, b):
+        """Fixed-position CIOS; |out| < ab/R + p + eps like FieldCtx."""
+        # phase 1: schoolbook columns, in place (no carries needed: < 2^31)
+        acc_ref[0:L] = a[0:1] * b
+        acc_ref[L : 2 * L + 1] = jnp.zeros_like(acc_ref[L : 2 * L + 1])
+        for i in range(1, L):
+            acc_ref[i : i + L] += a[i : i + 1] * b
+        # one parallel sweep: columns -> < 2^13 + 2^17.4
+        acc_ref[:] = sweep(acc_ref[:])
+        # phase 2: REDC, clearing one low row per step
+        for i in range(L):
+            row = acc_ref[i : i + 1]
+            m = ((row & mask) * n0) & mask
+            acc_ref[i : i + L] += m * q_col
+            acc_ref[i + 1 : i + 2] += acc_ref[i : i + 1] >> w
+        # result = rows L..2L (the /R shift); fold the top overflow row
+        out = acc_ref[L : 2 * L]
+        out = jnp.concatenate(
+            [out[: L - 1], out[L - 1 :] + (acc_ref[2 * L : 2 * L + 1] << w)],
+            axis=0,
+        )
+        return sweep(sweep(out))
+
+    return add, sub, mont_mul
+
+
+def _rcb16_add(cfg: MsmConfig):
+    """Complete projective addition (RCB16 Algorithm 7, a=0) on limbs-first
+    [L, T] coordinate arrays — same formula sequence as CurveCtx.add.
+    ``q_col``/``b3m_col`` arrive as [L, 1] traced inputs."""
+
+    def add_points(q_col, b3m_col, acc_ref, x1, y1, z1, x2, y2, z2):
+        f_add, f_sub, f_mul = _make_field_ops(cfg, q_col, acc_ref)
+
+        def dbl(a):
+            return f_add(a, a)
+
+        def mul_b3(t):
+            return f_mul(t, b3m_col + jnp.zeros_like(t))
+
+        t0 = f_mul(x1, x2)
+        t1 = f_mul(y1, y2)
+        t2 = f_mul(z1, z2)
+        t3 = f_mul(f_add(x1, y1), f_add(x2, y2))
+        t3 = f_sub(t3, f_add(t0, t1))
+        t4 = f_mul(f_add(y1, z1), f_add(y2, z2))
+        t4 = f_sub(t4, f_add(t1, t2))
+        t5 = f_mul(f_add(x1, z1), f_add(x2, z2))
+        t5 = f_sub(t5, f_add(t0, t2))
+        t0_3 = f_add(dbl(t0), t0)
+        t2b = mul_b3(t2)
+        z3 = f_add(t1, t2b)
+        t1m = f_sub(t1, t2b)
+        y3 = mul_b3(t5)
+        x3 = f_sub(f_mul(t3, t1m), f_mul(t4, y3))
+        y3 = f_add(f_mul(t1m, z3), f_mul(y3, t0_3))
+        z3 = f_add(f_mul(z3, t4), f_mul(t0_3, t3))
+        return x3, y3, z3
+
+    return add_points
+
+
+@functools.lru_cache(maxsize=None)
+def make_point_add(
+    cfg: MsmConfig, tile: int = DEFAULT_TILE, interpret: bool = False
+):
+    """Build the fused point-add: ([B,L]x3, [B,L]x3) -> [B,L]x3, B % tile == 0.
+
+    Returns a jit-compatible function over raw coordinate arrays (PointBatch
+    integration lives in ops/curve.py to avoid a circular import).
+    """
+    L = cfg.num_words
+    b3 = (3 * cfg.curve.b * cfg.r) % cfg.curve.modulus
+    b3m_np = int_to_limbs(b3, cfg.word_size, L).astype(np.int32)[:, None]
+    q_np = int_to_limbs(cfg.curve.modulus, cfg.word_size, L).astype(np.int32)[
+        :, None
+    ]
+    add_points = _rcb16_add(cfg)
+
+    def kernel(q, b3m, ax, ay, az, bx, by, bz, ox, oy, oz, acc_ref):
+        ins = [r[:].T for r in (ax, ay, az, bx, by, bz)]  # [L, tile]
+        x3, y3, z3 = add_points(q[:], b3m[:], acc_ref, *ins)
+        ox[:] = x3.T
+        oy[:] = y3.T
+        oz[:] = z3.T
+
+    def point_add(ax, ay, az, bx, by, bz):
+        B = ax.shape[0]
+        assert B % tile == 0, (B, tile)
+        grid = (B // tile,)
+        spec = pl.BlockSpec((tile, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        cspec = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, L), jnp.int32)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[cspec, cspec] + [spec] * 6,
+            out_specs=(spec, spec, spec),
+            out_shape=(out_shape, out_shape, out_shape),
+            scratch_shapes=[pltpu.VMEM((2 * L + 1, tile), jnp.int32)],
+            interpret=interpret,
+        )(jnp.asarray(q_np), jnp.asarray(b3m_np), ax, ay, az, bx, by, bz)
+
+    return point_add

@@ -74,6 +74,8 @@ def native_msm(points: list[JPoint], scalars: list[int], curve: CurveSpec = BN25
         if pt.is_identity():
             # encode identity as (0, 0): the C++ side treats x=y=0 as infinity
             x, y = 0, 0
+        elif pt.z == 1:
+            x, y = pt.x, pt.y  # already affine — skip the modular inverse
         else:
             x, y = cv.to_affine(pt)
         pbuf[64 * i : 64 * i + 32] = x.to_bytes(32, "little")

@@ -85,7 +85,7 @@ def _local_window_sums_mont(
         return jnp.stack([w.x, w.y, w.z])
 
     return jax.lax.map(
-        subtask, (keys, signs), batch_size=min(geom.subtask_batch, cfg.num_subtasks)
+        subtask, (keys, signs), batch_size=common.subtask_batch(geom, cfg)
     )  # [S, 3, L] Montgomery
 
 
