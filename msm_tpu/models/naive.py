@@ -48,7 +48,9 @@ def naive_window_sums(
     num_buckets = 1 << cfg.chunk_size
 
     def subtask(k):
-        buckets = bucket_accumulate(ec, pts, k, num_buckets, geom.num_rows)
+        buckets = bucket_accumulate(
+            ec, pts, k, num_buckets, geom.num_rows, affine=True
+        )
         w = bucket_reduce_running(ec, buckets)
         return jnp.stack([w.x, w.y, w.z])
 

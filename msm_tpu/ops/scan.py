@@ -157,19 +157,22 @@ def bucket_accumulate(
     num_buckets: int,
     num_rows: int,
     signs: jax.Array | None = None,
+    affine: bool = False,
 ) -> PointBatch:
     """Per-bucket signed point sums for one subtask (cuZK stages 2+3).
 
     pts: [n] points (Montgomery projective); keys: int32 [n] in
     [0, num_buckets); signs: optional bool [n] (True -> subtract the point).
+    ``affine=True`` asserts every z == 1 (Montgomery R) — true for freshly
+    converted input points — enabling the fused mixed-add scan kernel on
+    TPU (z never gathered, 13 instead of 15 muls per scan step).
     Returns buckets [num_buckets] with bucket_b = sum_{keys==b} ±P_i.
     """
     n = keys.shape[0]
     sorted_keys, perm = jax.lax.sort_key_val(keys, jnp.arange(n, dtype=jnp.int32))
-    spts = gather_points(pts, perm)
-    if signs is not None:
-        spts = ec.neg_where(signs[perm], spts)
-    row_prefix, offsets = blocked_prefix_scan(ec, spts, num_rows)
+    row_prefix, offsets = _sorted_prefix(
+        ec, pts, perm, signs, num_rows, affine=affine
+    )
     ends = jnp.searchsorted(
         sorted_keys, jnp.arange(num_buckets, dtype=jnp.int32), side="right"
     ).astype(jnp.int32)
@@ -182,6 +185,53 @@ def bucket_accumulate(
         jnp.concatenate([ident1.z, pe.z[:-1]]),
     )
     return ec.add(pe, ec.neg(prev))
+
+
+def _sorted_prefix(
+    ec: CurveCtx,
+    pts: PointBatch,
+    perm: jax.Array,
+    signs: jax.Array | None,
+    num_rows: int,
+    affine: bool,
+) -> tuple[PointBatch, PointBatch]:
+    """Gather points into sorted order (one fused [n, 2L or 3L] gather) and
+    run the blocked prefix scan — via the fused Pallas mixed-add kernel when
+    the points are affine and we're on TPU, else the generic XLA path."""
+    from msm_tpu.ops.curve import _pallas_enabled
+
+    n = perm.shape[0]
+    R = num_rows
+    L = pts.x.shape[-1]
+    use_kernel = (
+        affine
+        and _pallas_enabled()
+        and n % R == 0
+        and R % 256 == 0
+    )
+    if not use_kernel:
+        cat = jnp.concatenate([pts.x, pts.y, pts.z], axis=-1)[perm]
+        spts = PointBatch(cat[..., :L], cat[..., L : 2 * L], cat[..., 2 * L :])
+        if signs is not None:
+            spts = ec.neg_where(signs[perm], spts)
+        return blocked_prefix_scan(ec, spts, R)
+
+    from msm_tpu.ops.pallas_scan import make_scan_rows
+
+    C = n // R
+    cat = jnp.concatenate([pts.x, pts.y], axis=-1)[perm]  # z == 1 implied
+    gx, gy = cat[..., :L], cat[..., L:]
+    if signs is not None:
+        gy = jnp.where(signs[perm][..., None], -gy, gy)
+
+    def arrange(a):  # [n, L] -> [C, R, L]; lane r owns [r*C, (r+1)*C)
+        return a.reshape(R, C, L).swapaxes(0, 1)
+
+    rx, ry, rz = make_scan_rows(ec.cfg, C, R)(arrange(gx), arrange(gy))
+    row_prefix = PointBatch(rx, ry, rz)
+    row_totals = PointBatch(rx[-1], ry[-1], rz[-1])
+    offsets = exclusive_prefix_points(ec, row_totals)
+    return row_prefix, offsets
 
 
 def bucket_reduce_running(ec: CurveCtx, buckets: PointBatch) -> PointBatch:

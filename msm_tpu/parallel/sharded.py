@@ -79,7 +79,7 @@ def _local_window_sums_mont(
     def subtask(args):
         k, s = args
         buckets = bucket_accumulate(
-            ec, pts, k, cfg.num_buckets, geom.num_rows, signs=s
+            ec, pts, k, cfg.num_buckets, geom.num_rows, signs=s, affine=True
         )
         w = bucket_reduce_blocked(ec, buckets, geom.bpr_threads)
         return jnp.stack([w.x, w.y, w.z])
