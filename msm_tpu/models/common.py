@@ -85,6 +85,14 @@ def pad_inputs(
     )
 
 
+def pack_points(pts: PointBatch) -> jax.Array:
+    """16-bit-pack the affine x||y coordinates for the fused scan kernel
+    (pallas_scan.pack_coords); computed once per MSM, reused per subtask."""
+    from msm_tpu.ops.pallas_scan import pack_coords
+
+    return jnp.concatenate([pack_coords(pts.x), pack_coords(pts.y)], axis=-1)
+
+
 def u16_to_mont_points(
     ec: CurveCtx, x_u16: jax.Array, y_u16: jax.Array
 ) -> PointBatch:

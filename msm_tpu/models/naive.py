@@ -46,10 +46,11 @@ def naive_window_sums(
     pts = common.u16_to_mont_points(ec, x_u16, y_u16)
     keys = extract_windows(s_u16, cfg.chunk_size, cfg.num_subtasks)  # [S, n]
     num_buckets = 1 << cfg.chunk_size
+    packed = common.pack_points(pts)
 
     def subtask(k):
         buckets = bucket_accumulate(
-            ec, pts, k, num_buckets, geom.num_rows, affine=True
+            ec, pts, k, num_buckets, geom.num_rows, affine=True, packed=packed
         )
         w = bucket_reduce_running(ec, buckets)
         return jnp.stack([w.x, w.y, w.z])

@@ -11,9 +11,17 @@ program:
 - the scanned operand is an **affine** point (the sorted input points all
   have z = 1 in Montgomery form), so each step uses the RCB16 *mixed*
   addition (Algorithm 8, a=0): 13 Montgomery muls incl. the two b3-muls vs
-  15 for the projective Algorithm 7 — and two fewer input transposes. Alg 8
-  is complete for any P1 (incl. identity) as long as P2 is finite, which
-  sorted real points always are (padding uses the generator, msm.rs:63-69).
+  15 for the projective Algorithm 7. Alg 8 is complete for any P1 (incl.
+  identity) as long as P2 is finite, which sorted real points always are
+  (padding uses the generator, reference msm.rs:63-69);
+- coordinates stream in **16-bit packed** form — two word_size-bit limbs per
+  int32 lane (balanced limbs are nonneg and < 2^13+2^5 < 2^16, so no
+  canonicalization is needed) — halving both the random-gather traffic of
+  the sort permutation and the kernel's input DMA. Packing happens ONCE per
+  MSM (models pack before the 16-subtask loop); unpacking is two shift/mask
+  ops per limb pair inside the kernel;
+- per-element signs (the signed-bucket negation, an int32 0/1 array gathered
+  by the same permutation) are applied to y in-kernel.
 
 Grid: (R/tile, C) with C innermost; the accumulator scratch re-initializes
 to the identity at c==0 (new row tile). Outputs are the inclusive prefixes
@@ -36,6 +44,31 @@ from msm_tpu.params import MsmConfig
 from msm_tpu.utils.limbs import int_to_limbs
 
 DEFAULT_TILE = 256
+
+
+def packed_width(L: int) -> int:
+    return (L + 1) // 2
+
+
+def pack_coords(x: jax.Array) -> jax.Array:
+    """[..., L] nonneg balanced limbs (< 2^16 each) -> [..., ceil(L/2)]
+    int32 with limb 2i in bits 0..15 and limb 2i+1 in bits 16..31."""
+    L = x.shape[-1]
+    if L % 2:
+        x = jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (1,), x.dtype)], axis=-1
+        )
+    lo = x[..., 0::2]
+    hi = x[..., 1::2]
+    return lo | (hi << 16)
+
+
+def _unpack_cols(p: jax.Array, L: int) -> jax.Array:
+    """[P, T] packed -> [L, T] limbs (sign-extending 16-bit fields)."""
+    lo = (p << 16) >> 16  # arithmetic: sign-extend low half
+    hi = p >> 16
+    full = jnp.stack([lo, hi], axis=1).reshape(2 * p.shape[0], p.shape[1])
+    return full[:L]
 
 
 def _rcb16_madd(cfg: MsmConfig):
@@ -77,11 +110,14 @@ def make_scan_rows(
 ):
     """Build the fused row scan.
 
-    Takes affine sorted points as two [C, R, L] arrays (step-major: element
-    (c, r) is the c-th point of lane r); returns the inclusive point-prefix
-    per lane as three [C, R, L] arrays (Montgomery projective limbs).
+    Takes bucket-sorted affine points as one packed [C, R, 2P] array
+    (x packed in cols 0..P-1, y in cols P..2P-1; element (c, r) is the c-th
+    point of lane r) plus int32 signs [C, R] (1 -> negate y); returns the
+    inclusive point-prefix per lane as three [C, R, L] arrays (Montgomery
+    projective limbs, balanced encoding).
     """
     L = cfg.num_words
+    P = packed_width(L)
     b3 = (3 * cfg.curve.b * cfg.r) % cfg.curve.modulus
     b3m_np = int_to_limbs(b3, cfg.word_size, L).astype(np.int32)[:, None]
     q_np = int_to_limbs(cfg.curve.modulus, cfg.word_size, L).astype(np.int32)[
@@ -91,7 +127,7 @@ def make_scan_rows(
     rm_np = int_to_limbs(cfg.r, cfg.word_size, L).astype(np.int32)[:, None]
     madd = _rcb16_madd(cfg)
 
-    def kernel(q, b3m, rm, px, py, ox, oy, oz, accx, accy, accz, mont_acc):
+    def kernel(q, b3m, rm, pxy, sg, ox, oy, oz, accx, accy, accz, mont_acc):
         c = pl.program_id(1)
 
         @pl.when(c == 0)
@@ -100,8 +136,10 @@ def make_scan_rows(
             accy[:] = rm[:] + jnp.zeros_like(accy)
             accz[:] = jnp.zeros_like(accz)
 
-        x2 = px[0].T  # [L, tile]
-        y2 = py[0].T
+        packed = pxy[0].T  # [2P, tile]
+        x2 = _unpack_cols(packed[:P], L)
+        y2 = _unpack_cols(packed[P:], L)
+        y2 = jnp.where(sg[0].T != 0, -y2, y2)  # sg[0]: [tile, 1]
         x3, y3, z3 = madd(
             q[:], b3m[:], mont_acc, accx[:], accy[:], accz[:], x2, y2
         )
@@ -112,11 +150,19 @@ def make_scan_rows(
         oy[0] = y3.T
         oz[0] = z3.T
 
-    def scan_rows(px, py):
-        assert px.shape == (C, R, L), (px.shape, (C, R, L))
+    def scan_rows(pxy, signs):
+        assert pxy.shape == (C, R, 2 * P), (pxy.shape, (C, R, 2 * P))
+        assert signs.shape == (C, R), signs.shape
         assert R % tile == 0, (R, tile)
+        signs = signs[..., None]  # [C, R, 1] — keeps blocks (…, tile, 1)
         grid = (R // tile, C)
-        spec = pl.BlockSpec(
+        inspec = pl.BlockSpec(
+            (1, tile, 2 * P), lambda r, c: (c, r, 0), memory_space=pltpu.VMEM
+        )
+        sgspec = pl.BlockSpec(
+            (1, tile, 1), lambda r, c: (c, r, 0), memory_space=pltpu.VMEM
+        )
+        outspec = pl.BlockSpec(
             (1, tile, L), lambda r, c: (c, r, 0), memory_space=pltpu.VMEM
         )
         cspec = pl.BlockSpec(
@@ -126,8 +172,8 @@ def make_scan_rows(
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[cspec, cspec, cspec, spec, spec],
-            out_specs=(spec, spec, spec),
+            in_specs=[cspec, cspec, cspec, inspec, sgspec],
+            out_specs=(outspec, outspec, outspec),
             out_shape=(out_shape, out_shape, out_shape),
             scratch_shapes=[
                 pltpu.VMEM((L, tile), jnp.int32),
@@ -136,6 +182,12 @@ def make_scan_rows(
                 pltpu.VMEM((2 * L + 1, tile), jnp.int32),
             ],
             interpret=interpret,
-        )(jnp.asarray(q_np), jnp.asarray(b3m_np), jnp.asarray(rm_np), px, py)
+        )(
+            jnp.asarray(q_np),
+            jnp.asarray(b3m_np),
+            jnp.asarray(rm_np),
+            pxy,
+            signs,
+        )
 
     return scan_rows

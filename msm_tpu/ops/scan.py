@@ -158,6 +158,7 @@ def bucket_accumulate(
     num_rows: int,
     signs: jax.Array | None = None,
     affine: bool = False,
+    packed: jax.Array | None = None,
 ) -> PointBatch:
     """Per-bucket signed point sums for one subtask (cuZK stages 2+3).
 
@@ -166,12 +167,15 @@ def bucket_accumulate(
     ``affine=True`` asserts every z == 1 (Montgomery R) — true for freshly
     converted input points — enabling the fused mixed-add scan kernel on
     TPU (z never gathered, 13 instead of 15 muls per scan step).
+    ``packed``: optional pre-packed [n, 2P] coordinate array (see
+    pallas_scan.pack_coords) — pass it when calling per-subtask so the
+    packing cost is paid once per MSM, not once per subtask.
     Returns buckets [num_buckets] with bucket_b = sum_{keys==b} ±P_i.
     """
     n = keys.shape[0]
     sorted_keys, perm = jax.lax.sort_key_val(keys, jnp.arange(n, dtype=jnp.int32))
     row_prefix, offsets = _sorted_prefix(
-        ec, pts, perm, signs, num_rows, affine=affine
+        ec, pts, perm, signs, num_rows, affine=affine, packed=packed
     )
     ends = jnp.searchsorted(
         sorted_keys, jnp.arange(num_buckets, dtype=jnp.int32), side="right"
@@ -194,10 +198,11 @@ def _sorted_prefix(
     signs: jax.Array | None,
     num_rows: int,
     affine: bool,
+    packed: jax.Array | None = None,
 ) -> tuple[PointBatch, PointBatch]:
-    """Gather points into sorted order (one fused [n, 2L or 3L] gather) and
-    run the blocked prefix scan — via the fused Pallas mixed-add kernel when
-    the points are affine and we're on TPU, else the generic XLA path."""
+    """Gather points into sorted order (one fused packed gather) and run the
+    blocked prefix scan — via the fused Pallas mixed-add kernel when the
+    points are affine and we're on TPU, else the generic XLA path."""
     from msm_tpu.ops.curve import _pallas_enabled
 
     n = perm.shape[0]
@@ -216,18 +221,27 @@ def _sorted_prefix(
             spts = ec.neg_where(signs[perm], spts)
         return blocked_prefix_scan(ec, spts, R)
 
-    from msm_tpu.ops.pallas_scan import make_scan_rows
+    from msm_tpu.ops.pallas_scan import make_scan_rows, pack_coords
 
     C = n // R
-    cat = jnp.concatenate([pts.x, pts.y], axis=-1)[perm]  # z == 1 implied
-    gx, gy = cat[..., :L], cat[..., L:]
-    if signs is not None:
-        gy = jnp.where(signs[perm][..., None], -gy, gy)
+    if packed is None:
+        packed = jnp.concatenate(
+            [pack_coords(pts.x), pack_coords(pts.y)], axis=-1
+        )
+    g = packed[perm]  # [n, 2P] — half the gather bytes of unpacked x||y
+    sg = (
+        signs[perm].astype(jnp.int32)
+        if signs is not None
+        else jnp.zeros((n,), jnp.int32)
+    )
+    W = g.shape[-1]
 
-    def arrange(a):  # [n, L] -> [C, R, L]; lane r owns [r*C, (r+1)*C)
-        return a.reshape(R, C, L).swapaxes(0, 1)
+    def arrange(a, w):  # [n, w] -> [C, R, w]; lane r owns [r*C, (r+1)*C)
+        return a.reshape(R, C, w).swapaxes(0, 1)
 
-    rx, ry, rz = make_scan_rows(ec.cfg, C, R)(arrange(gx), arrange(gy))
+    rx, ry, rz = make_scan_rows(ec.cfg, C, R)(
+        arrange(g, W), sg.reshape(R, C).swapaxes(0, 1)
+    )
     row_prefix = PointBatch(rx, ry, rz)
     row_totals = PointBatch(rx[-1], ry[-1], rz[-1])
     offsets = exclusive_prefix_points(ec, row_totals)

@@ -75,11 +75,13 @@ def _local_window_sums_mont(
     ec = get_curve_ctx(cfg)
     pts = common.u16_to_mont_points(ec, x_u16, y_u16)
     keys, signs = decompose_signed(s_u16, cfg.chunk_size, cfg.num_subtasks)
+    packed = common.pack_points(pts)
 
     def subtask(args):
         k, s = args
         buckets = bucket_accumulate(
-            ec, pts, k, cfg.num_buckets, geom.num_rows, signs=s, affine=True
+            ec, pts, k, cfg.num_buckets, geom.num_rows, signs=s, affine=True,
+            packed=packed,
         )
         w = bucket_reduce_blocked(ec, buckets, geom.bpr_threads)
         return jnp.stack([w.x, w.y, w.z])

@@ -1,0 +1,64 @@
+"""Fused scan-kernel parity tests (interpret mode on CPU).
+
+Validates the packed mixed-add row scan against the XLA blocked prefix
+scan — the TPU analogue of the reference's stage-level SMVP parity test
+(``tests/smvp_shader.rs:292-334`` asserting GPU bucket sums ==
+``cpu_smvp_signed``).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from msm_tpu.models import common
+from msm_tpu.ops.curve import PointBatch, get_curve_ctx
+from msm_tpu.ops.pallas_scan import make_scan_rows, pack_coords, packed_width
+from msm_tpu.ops.scan import blocked_prefix_scan
+from msm_tpu.oracle.pyecc import Curve
+from msm_tpu.params import BN254, MsmConfig
+
+CFG = MsmConfig(curve=BN254)
+
+
+def test_fused_scan_matches_blocked_scan():
+    ec = get_curve_ctx(CFG)
+    cv = Curve(CFG.curve)
+    C, R = 4, 512
+    n = C * R
+    pts_j = cv.sample_points(64, seed=5)
+    aff = [cv.to_affine(p) for p in pts_j]
+    pts_a = [aff[i % 64] for i in range(n)]
+    x_u16, y_u16, _ = common.pad_inputs(pts_a, [0] * n, CFG)
+    pts = common.u16_to_mont_points(
+        ec, jnp.asarray(x_u16)[:n], jnp.asarray(y_u16)[:n]
+    )
+    rng = np.random.default_rng(0)
+    signs = jnp.asarray(rng.integers(0, 2, size=(n,)), dtype=jnp.int32)
+
+    packed = common.pack_points(pts)
+    L = CFG.num_words
+
+    def arrange(a, w):
+        return a.reshape(R, C, w).swapaxes(0, 1)
+
+    scan = make_scan_rows(CFG, C, R, tile=256, interpret=True)
+    rx, ry, rz = scan(
+        arrange(packed, 2 * packed_width(L)),
+        signs.reshape(R, C).swapaxes(0, 1),
+    )
+    got = PointBatch(rx, ry, rz)
+
+    spts = ec.neg_where(signs.astype(bool), pts)
+    want, _ = blocked_prefix_scan(ec, spts, R)
+    assert bool(jnp.all(ec.eq(want, got)))
+
+
+def test_pack_roundtrip():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(
+        rng.integers(0, (1 << 13) + 40, size=(32, CFG.num_words)), jnp.int32
+    )
+    p = pack_coords(x)
+    lo = (p << 16) >> 16
+    hi = p >> 16
+    back = jnp.stack([lo, hi], axis=-1).reshape(32, -1)[:, : CFG.num_words]
+    assert bool(jnp.all(back == x))
