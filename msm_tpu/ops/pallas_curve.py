@@ -85,20 +85,61 @@ def _make_field_ops(cfg: MsmConfig, q_col: jax.Array, acc_ref):
     def sub(a, b):
         return sweep(a - b)
 
+    def add_raw(a, b):
+        """No-sweep add: only for values feeding another add/sub (bounds
+        grow by one bit; never feed a mul without an intervening sweep)."""
+        return a + b
+
+    # phase-1 step width: amortizes the scratch load/add/store over S1
+    # a-limbs per pass. Column budget: (L + S1 - 1) * 2^(2w) < 2^31.
+    S1 = next(s for s in (4, 3, 2, 1) if L % s == 0)
+    assert (L + S1 - 1) * ((1 << w) - 1) ** 2 < (1 << 31)
+
     def mont_mul(a, b):
-        """Fixed-position CIOS; |out| < ab/R + p + eps like FieldCtx."""
+        """Fixed-position CIOS, S1 a-limbs per accumulation pass;
+        |out| < ab/R + p + eps like FieldCtx."""
+        T = a.shape[-1]
+        zrow = jnp.zeros((1, T), dtype=jnp.int32)
+
+        def at_offset(v, j, width):
+            # v [L, T] placed at row offset j within a width-row window
+            return jnp.concatenate(
+                [zrow] * j + [v] + [zrow] * (width - L - j), axis=0
+            ) if (j or width != L) else v
+
+        W1 = L + S1 - 1
+        b_ext = [at_offset(b, j, W1) for j in range(S1)]
         # phase 1: schoolbook columns, in place (no carries needed: < 2^31)
-        acc_ref[0:L] = a[0:1] * b
-        acc_ref[L : 2 * L + 1] = jnp.zeros_like(acc_ref[L : 2 * L + 1])
-        for i in range(1, L):
-            acc_ref[i : i + L] += a[i : i + 1] * b
+        first = a[0:1] * b_ext[0]
+        for j in range(1, S1):
+            first = first + a[j : j + 1] * b_ext[j]
+        acc_ref[0:W1] = first
+        acc_ref[W1 : 2 * L + 1] = jnp.zeros_like(acc_ref[W1 : 2 * L + 1])
+        for i in range(S1, L, S1):
+            s = a[i : i + 1] * b_ext[0]
+            for j in range(1, S1):
+                s = s + a[i + j : i + j + 1] * b_ext[j]
+            acc_ref[i : i + W1] += s
         # one parallel sweep: columns -> < 2^13 + 2^17.4
         acc_ref[:] = sweep(acc_ref[:])
-        # phase 2: REDC, clearing one low row per step
-        for i in range(L):
-            row = acc_ref[i : i + 1]
-            m = ((row & mask) * n0) & mask
-            acc_ref[i : i + L] += m * q_col
+        # phase 2: REDC, clearing two low rows per step
+        qb = q_col + jnp.zeros((L, T), jnp.int32)
+        q_ext0 = jnp.concatenate([qb, zrow], axis=0)  # [L+1, T]
+        q_ext1 = jnp.concatenate([zrow, qb], axis=0)
+        for i in range(0, L - 1, 2):
+            r0 = acc_ref[i : i + 1]
+            m0 = ((r0 & mask) * n0) & mask
+            c0 = (r0 + m0 * q_col[0:1]) >> w
+            r1 = acc_ref[i + 1 : i + 2] + m0 * q_col[1:2] + c0
+            m1 = ((r1 & mask) * n0) & mask
+            acc_ref[i : i + L + 1] += m0 * q_ext0 + m1 * q_ext1
+            acc_ref[i + 1 : i + 2] += acc_ref[i : i + 1] >> w
+            acc_ref[i + 2 : i + 3] += acc_ref[i + 1 : i + 2] >> w
+        if L % 2:  # odd limb count: final single REDC step
+            i = L - 1
+            r0 = acc_ref[i : i + 1]
+            m0 = ((r0 & mask) * n0) & mask
+            acc_ref[i : i + L] += m0 * qb
             acc_ref[i + 1 : i + 2] += acc_ref[i : i + 1] >> w
         # result = rows L..2L (the /R shift); fold the top overflow row
         out = acc_ref[L : 2 * L]
@@ -108,7 +149,7 @@ def _make_field_ops(cfg: MsmConfig, q_col: jax.Array, acc_ref):
         )
         return sweep(sweep(out))
 
-    return add, sub, mont_mul
+    return add, sub, mont_mul, add_raw
 
 
 def _rcb16_add(cfg: MsmConfig):
@@ -117,10 +158,7 @@ def _rcb16_add(cfg: MsmConfig):
     ``q_col``/``b3m_col`` arrive as [L, 1] traced inputs."""
 
     def add_points(q_col, b3m_col, acc_ref, x1, y1, z1, x2, y2, z2):
-        f_add, f_sub, f_mul = _make_field_ops(cfg, q_col, acc_ref)
-
-        def dbl(a):
-            return f_add(a, a)
+        f_add, f_sub, f_mul, f_add_raw = _make_field_ops(cfg, q_col, acc_ref)
 
         def mul_b3(t):
             return f_mul(t, b3m_col + jnp.zeros_like(t))
@@ -129,12 +167,12 @@ def _rcb16_add(cfg: MsmConfig):
         t1 = f_mul(y1, y2)
         t2 = f_mul(z1, z2)
         t3 = f_mul(f_add(x1, y1), f_add(x2, y2))
-        t3 = f_sub(t3, f_add(t0, t1))
+        t3 = f_sub(t3, f_add_raw(t0, t1))
         t4 = f_mul(f_add(y1, z1), f_add(y2, z2))
-        t4 = f_sub(t4, f_add(t1, t2))
+        t4 = f_sub(t4, f_add_raw(t1, t2))
         t5 = f_mul(f_add(x1, z1), f_add(x2, z2))
-        t5 = f_sub(t5, f_add(t0, t2))
-        t0_3 = f_add(dbl(t0), t0)
+        t5 = f_sub(t5, f_add_raw(t0, t2))
+        t0_3 = f_add(f_add_raw(t0, t0), t0)
         t2b = mul_b3(t2)
         z3 = f_add(t1, t2b)
         t1m = f_sub(t1, t2b)

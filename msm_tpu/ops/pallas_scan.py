@@ -76,7 +76,7 @@ def _rcb16_madd(cfg: MsmConfig):
     [L, T] arrays. Returns (x3, y3, z3)."""
 
     def madd(q_col, b3m_col, acc_ref, x1, y1, z1, x2, y2):
-        f_add, f_sub, f_mul = _make_field_ops(cfg, q_col, acc_ref)
+        f_add, f_sub, f_mul, f_add_raw = _make_field_ops(cfg, q_col, acc_ref)
 
         def mul_b3(t):
             return f_mul(t, b3m_col + jnp.zeros_like(t))
@@ -84,10 +84,10 @@ def _rcb16_madd(cfg: MsmConfig):
         t0 = f_mul(x1, x2)
         t1 = f_mul(y1, y2)
         t3 = f_mul(f_add(x2, y2), f_add(x1, y1))
-        t3 = f_sub(t3, f_add(t0, t1))  # x1y2 + x2y1
+        t3 = f_sub(t3, f_add_raw(t0, t1))  # x1y2 + x2y1
         t4 = f_add(f_mul(y2, z1), y1)  # y1 + y2z1
         y3 = f_add(f_mul(x2, z1), x1)  # x1 + x2z1
-        t0_3 = f_add(f_add(t0, t0), t0)  # 3x1x2
+        t0_3 = f_add(f_add_raw(t0, t0), t0)  # 3x1x2
         t2 = mul_b3(z1)
         z3 = f_add(t1, t2)
         t1 = f_sub(t1, t2)
