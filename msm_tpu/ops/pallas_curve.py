@@ -48,10 +48,10 @@ from jax.experimental.pallas import tpu as pltpu
 from msm_tpu.params import MsmConfig
 from msm_tpu.utils.limbs import int_to_limbs
 
-#: lane-tile width (batch elements per kernel instance). 256 is the largest
-#: tile whose fully-unrolled kernel fits the 16 MB VMEM stack budget on v5e
-#: (512 OOMs at 18.2 MB) and measures fastest (2.0 ms / 65536-lane add).
-DEFAULT_TILE = 256
+#: lane-tile width (batch elements per kernel instance). After the
+#: multi-limb CIOS refactor the kernel body fits VMEM up to tile 1024;
+#: 512 measures fastest for the generic add (~0.75 ms / 65536-lane add).
+DEFAULT_TILE = 512
 
 
 def _sweep_cols(x: jax.Array, w: int, mask: int) -> jax.Array:

@@ -43,7 +43,7 @@ from msm_tpu.ops.pallas_curve import _make_field_ops
 from msm_tpu.params import MsmConfig
 from msm_tpu.utils.limbs import int_to_limbs
 
-DEFAULT_TILE = 256
+DEFAULT_TILE = 1024
 
 
 def packed_width(L: int) -> int:
