@@ -38,9 +38,37 @@ __all__ = [
     "MsmConfig",
     "cpu_msm",
     "run_tpu_msm",
+    "run_tpu_msm_batched",
+    "run_tpu_msm_sharded",
     "sample_points",
     "sample_scalars",
+    "scalars_to_bytes",
+    "bytes_to_scalars",
+    "points_to_bytes",
+    "bytes_to_points",
 ]
+
+from msm_tpu.utils.limbs import (  # noqa: E402  (reference lib.rs:50-65)
+    bytes_to_points,
+    bytes_to_scalars,
+    points_to_bytes,
+    scalars_to_bytes,
+)
+
+
+def run_tpu_msm_batched(instances, config=DEFAULT_CONFIG):
+    """Many independent MSMs in one device program (prover workload).
+    ``instances``: list of (points, scalars); returns oracle JPoints."""
+    from msm_tpu.models.batched import compute_msm_batched
+
+    return compute_msm_batched(instances, config)
+
+
+def run_tpu_msm_sharded(points, scalars, config=DEFAULT_CONFIG, mesh=None):
+    """Multi-chip sharded MSM over a jax Mesh (defaults to all devices)."""
+    from msm_tpu.parallel import compute_msm_sharded
+
+    return compute_msm_sharded(points, scalars, config, mesh=mesh)
 
 
 def cpu_msm(points, scalars, curve=BN254):

@@ -29,6 +29,9 @@ def extract_windows(
     for j in range(num_subtasks):
         lo_bit = c * j
         a, off = divmod(lo_bit, 16)
+        if a >= nwords:  # window lies entirely past the serialized words
+            outs.append(jnp.zeros_like(scalars_u16[:, 0]))
+            continue
         w = scalars_u16[:, a] >> off
         if off + c > 16 and a + 1 < nwords:
             w = w | (scalars_u16[:, a + 1] << (16 - off))

@@ -1,0 +1,123 @@
+"""Profiling / tracing utilities — SURVEY §5's observability subsystem.
+
+The reference instruments wall-clock only (``performance.now()`` around
+sampling/MSM, ``lib.rs:89-98``; per-stage prints in native tests,
+``tests/decompose_shader.rs:137-140``). Here:
+
+- ``stage_timings(n, cfg)`` — per-stage device timings of the cuZK pipeline
+  (decompose / sort / gather+scan / boundary / reduce / export) plus derived
+  field-muls/sec — the roofline metric from BASELINE.md;
+- ``trace(path)`` — context manager around ``jax.profiler`` for full XLA
+  traces viewable in TensorBoard/Perfetto.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(path: str):
+    """jax.profiler trace context (TensorBoard/Perfetto format)."""
+    import jax
+
+    jax.profiler.start_trace(path)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def _timeit(fn, *args, reps: int = 3) -> float:
+    """Median wall-clock of a jitted callable, synchronized by fetching a
+    scalar reduction (block_until_ready alone under-synchronizes on the
+    remote-tunnel platform)."""
+    import jax
+    import jax.numpy as jnp
+
+    g = jax.jit(
+        lambda *a: sum(jnp.sum(leaf) for leaf in jax.tree.leaves(fn(*a)))
+    )
+    float(g(*args))  # compile + warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        float(g(*args))
+        ts.append(time.time() - t0)
+    return float(np.median(ts))
+
+
+def stage_timings(n: int, cfg, seed: int = 0) -> dict:
+    """Per-stage timings of the cuZK pipeline at size n (one subtask for the
+    per-subtask stages, scaled in the report)."""
+    import jax.numpy as jnp
+
+    from msm_tpu.models import common
+    from msm_tpu.models.cuzk import cuzk_window_sums
+    from msm_tpu.models.geometry import pick_geometry
+    from msm_tpu.ops.curve import get_curve_ctx
+    from msm_tpu.ops.decompose import decompose_signed
+    from msm_tpu.ops.scan import bucket_accumulate, bucket_reduce_blocked
+    from msm_tpu.oracle.pyecc import Curve
+
+    ec = get_curve_ctx(cfg)
+    cv = Curve(cfg.curve)
+    nbase = min(n, 512)
+    base = [cv.to_affine(p) for p in cv.sample_points(nbase, seed=seed)]
+    pts_a = [base[i % nbase] for i in range(n)]
+    rng = np.random.default_rng(seed + 1)
+    ks = [
+        int.from_bytes(rng.bytes(32), "little") % cfg.curve.order
+        for _ in range(n)
+    ]
+    x, y, s = common.pad_inputs(pts_a, ks, cfg)
+    geom = pick_geometry(x.shape[0], cfg.chunk_size)
+    xd, yd, sd = jnp.asarray(x), jnp.asarray(y), jnp.asarray(s)
+
+    pts = common.u16_to_mont_points(ec, xd, yd)
+    packed = common.pack_points(pts)
+    keys, signs = decompose_signed(sd, cfg.chunk_size, cfg.num_subtasks)
+    k0, s0 = keys[0], signs[0]
+
+    report: dict = {
+        "n": n,
+        "curve": cfg.curve.name,
+        "num_subtasks": cfg.num_subtasks,
+        "geometry": {
+            "num_rows": geom.num_rows,
+            "bpr_threads": geom.bpr_threads,
+        },
+        "stages_ms": {},
+    }
+    t = report["stages_ms"]
+    t["convert_points"] = 1e3 * _timeit(
+        lambda a, b: common.u16_to_mont_points(ec, a, b), xd, yd
+    )
+    t["decompose_scalars"] = 1e3 * _timeit(
+        lambda a: decompose_signed(a, cfg.chunk_size, cfg.num_subtasks), sd
+    )
+    t["bucket_accumulate_per_subtask"] = 1e3 * _timeit(
+        lambda p, k, sg, pk: bucket_accumulate(
+            ec, p, k, cfg.num_buckets, geom.num_rows, signs=sg, affine=True,
+            packed=pk,
+        ),
+        pts, k0, s0, packed,
+    )
+    buckets = bucket_accumulate(
+        ec, pts, k0, cfg.num_buckets, geom.num_rows, signs=s0, affine=True,
+        packed=packed,
+    )
+    t["bucket_reduce_per_subtask"] = 1e3 * _timeit(
+        lambda b: bucket_reduce_blocked(ec, b, geom.bpr_threads), buckets
+    )
+    t["full_pipeline"] = 1e3 * _timeit(
+        lambda a, b, c: cuzk_window_sums(a, b, c, cfg, geom), xd, yd, sd
+    )
+    # roofline: ~13 mont-muls per scan madd, n madds per subtask
+    muls = cfg.num_subtasks * n * 13
+    t_s = t["full_pipeline"] / 1e3
+    report["field_muls_per_sec"] = round(muls / t_s)
+    return report

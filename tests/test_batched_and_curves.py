@@ -1,0 +1,40 @@
+"""Batched-MSM API + second/third curve end-to-end generality.
+
+The reference proves two-curve generality through its naive path's Pallas
+(Pasta) instantiation (``src/naive/wgsl/pallas/``); here every curve config
+runs the full cuZK pipeline. BLS12-377 exercises a wider modulus (30 limbs),
+the Pasta/Pallas curve exercises an odd limb count (21).
+"""
+
+import pytest
+
+from msm_tpu.models.batched import compute_msm_batched
+from msm_tpu.models.cuzk import compute_msm_jpoint
+from msm_tpu.oracle.pyecc import Curve
+from msm_tpu.params import BLS12_377, BN254, PALLAS, MsmConfig
+
+
+def _sample(cv, n, seed):
+    pts = [cv.to_affine(p) for p in cv.sample_points(n, seed=seed)]
+    ks = cv.sample_scalars(n, seed=seed + 1)
+    return pts, ks
+
+
+def test_batched_msm_matches_oracle():
+    cv = Curve(BN254)
+    cfg = MsmConfig(curve=BN254)
+    instances = [_sample(cv, 40 + 8 * i, seed=10 + i) for i in range(3)]
+    got = compute_msm_batched(instances, cfg)
+    for (pts, ks), g in zip(instances, got):
+        want = cv.msm([cv.from_affine(*p) for p in pts], ks)
+        assert cv.eq(g, want)
+
+
+@pytest.mark.parametrize("curve", [BLS12_377, PALLAS], ids=lambda c: c.name)
+def test_cuzk_msm_other_curves(curve):
+    cv = Curve(curve)
+    cfg = MsmConfig(curve=curve)
+    pts, ks = _sample(cv, 50, seed=3)
+    got = compute_msm_jpoint(pts, ks, cfg)
+    want = cv.msm([cv.from_affine(*p) for p in pts], ks)
+    assert cv.eq(got, want)
