@@ -50,6 +50,7 @@ def sample_inputs(n: int, cfg, seed: int = 0):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=20)
+    ap.add_argument("--chunk", type=int, default=0, help="override window size (0 = config default)")
     ap.add_argument("--verify", action="store_true")
     ap.add_argument("--timings", action="store_true")
     ap.add_argument("--reps", type=int, default=3)
@@ -61,10 +62,10 @@ def main() -> None:
     from msm_tpu.models import common
     from msm_tpu.models.cuzk import cuzk_window_sums
     from msm_tpu.models.geometry import pick_geometry
-    from msm_tpu.params import BN254, MsmConfig
+    from msm_tpu.params import BN254, MsmConfig, pick_config
 
     n = 1 << args.size
-    cfg = MsmConfig(curve=BN254)
+    cfg = MsmConfig(curve=BN254, chunk_size=args.chunk) if args.chunk else pick_config(n)
     t0 = time.time()
     pts, ks = sample_inputs(n, cfg)
     x_u16, y_u16, s_u16 = common.pad_inputs(pts, ks, cfg)

@@ -83,7 +83,7 @@ def cpu_msm(points, scalars, curve=BN254):
     return best_msm(points, scalars, curve=curve)
 
 
-def run_tpu_msm(points, scalars, config=DEFAULT_CONFIG):
+def run_tpu_msm(points, scalars, config=None):
     """End-to-end TPU MSM (the reference's ``run_webgpu_msm``, lib.rs:76-82).
 
     ``points``: affine (x, y) int pairs; ``scalars``: ints.

@@ -73,12 +73,15 @@ def cuzk_window_sums(
 def compute_msm(
     points: list[tuple[int, int]],
     scalars: list[int],
-    config: MsmConfig = DEFAULT_CONFIG,
+    config: MsmConfig | None = None,
     geometry: MsmGeometry | None = None,
 ) -> tuple[int, int] | None:
     """End-to-end MSM: affine int points + int scalars -> affine (x, y) or
     None for identity. The reference equivalent is compute_msm
     (msm.rs:75-417) behind run_webgpu_msm (lib.rs:76-82)."""
+    from msm_tpu.params import pick_config
+
+    config = config or pick_config(len(points))
     res = compute_msm_jpoint(points, scalars, config, geometry)
     return common.result_to_affine(res, config)
 
@@ -86,10 +89,13 @@ def compute_msm(
 def compute_msm_jpoint(
     points: list[tuple[int, int]],
     scalars: list[int],
-    config: MsmConfig = DEFAULT_CONFIG,
+    config: MsmConfig | None = None,
     geometry: MsmGeometry | None = None,
 ) -> JPoint:
     """Like compute_msm but returns the oracle JPoint (test convenience)."""
+    from msm_tpu.params import pick_config
+
+    config = config or pick_config(len(points))
     if len(points) == 0:
         from msm_tpu.oracle.pyecc import IDENTITY
 

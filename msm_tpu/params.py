@@ -241,3 +241,25 @@ class MsmConfig:
 #: Default config — mirrors the reference's production choice: 13-bit limbs,
 #: 20 words, 16-bit windows, 16 subtasks (``src/cuzk/msm.rs:34,79-82``).
 DEFAULT_CONFIG = MsmConfig(curve=BN254)
+
+
+def pick_chunk_size(n: int) -> int:
+    """Size-dependent window rule (the reference's ``chunk_size = n>=65536 ?
+    16 : 4`` heuristic at msm.rs:79, re-tuned for this implementation on
+    v5e): small n is bucket-machinery-bound, so smaller windows win.
+
+    Measured (BN254, one v5e chip): 2^16: c13=301ms vs c16=372ms;
+    2^18: c14=519ms vs c16=554ms; 2^20: c16=1.30s optimal.
+    """
+    if n <= (1 << 16):
+        return 13
+    if n <= (1 << 18):
+        return 14
+    return 16
+
+
+@functools.lru_cache(maxsize=None)
+def pick_config(n: int, curve: CurveSpec = BN254) -> MsmConfig:
+    """n-aware production config (used when the caller passes no explicit
+    MsmConfig)."""
+    return MsmConfig(curve=curve, chunk_size=pick_chunk_size(max(n, 16)))

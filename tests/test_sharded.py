@@ -14,7 +14,10 @@ from msm_tpu.oracle.pyecc import Curve
 from msm_tpu.params import BN254, MsmConfig
 from msm_tpu.parallel import compute_msm_sharded, default_mesh
 
-CFG = MsmConfig(curve=BN254)
+# chunk_size=8 keeps the compiled programs small (the collectives and the
+# shard/merge logic under test are window-size independent); the production
+# window size is exercised on the single-chip path in test_msm_e2e.py
+CFG = MsmConfig(curve=BN254, chunk_size=8)
 CV = Curve(BN254)
 
 
