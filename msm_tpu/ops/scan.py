@@ -228,19 +228,19 @@ def _sorted_prefix(
         packed = jnp.concatenate(
             [pack_coords(pts.x), pack_coords(pts.y)], axis=-1
         )
-    g = packed[perm]  # [n, 2P] — half the gather bytes of unpacked x||y
+    # step-major storage (element (c, r) = sorted position r*C + c) is
+    # produced by transposing the 4 MB permutation VECTOR, not the gathered
+    # coordinate data — the gather lands directly in kernel layout
+    perm2 = perm.reshape(R, C).swapaxes(0, 1).reshape(n)
+    g = packed[perm2]  # [n, 2P] — half the gather bytes of unpacked x||y
     sg = (
-        signs[perm].astype(jnp.int32)
+        signs[perm2].astype(jnp.int32)
         if signs is not None
         else jnp.zeros((n,), jnp.int32)
     )
     W = g.shape[-1]
-
-    def arrange(a, w):  # [n, w] -> [C, R, w]; lane r owns [r*C, (r+1)*C)
-        return a.reshape(R, C, w).swapaxes(0, 1)
-
     rx, ry, rz = make_scan_rows(ec.cfg, C, R)(
-        arrange(g, W), sg.reshape(R, C).swapaxes(0, 1)
+        g.reshape(C, R, W), sg.reshape(C, R)
     )
     row_prefix = PointBatch(rx, ry, rz)
     row_totals = PointBatch(rx[-1], ry[-1], rz[-1])
