@@ -93,6 +93,26 @@ def pack_points(pts: PointBatch) -> jax.Array:
     return jnp.concatenate([pack_coords(pts.x), pack_coords(pts.y)], axis=-1)
 
 
+def prepare_points(
+    ec: CurveCtx, x_u16: jax.Array, y_u16: jax.Array, num_rows: int
+) -> tuple[PointBatch | None, jax.Array | None]:
+    """Stage-1 point preparation, once per MSM.
+
+    Fused path (TPU + kernel-compatible geometry): one Pallas kernel does
+    word-extraction + to-Montgomery + 16-bit packing and the unpacked
+    PointBatch never materializes (returns (None, packed)). Otherwise the
+    XLA conversion runs and packing is skipped (returns (pts, None))."""
+    from msm_tpu.ops.scan import fused_scan_available
+
+    n = x_u16.shape[0]
+    if fused_scan_available(n, num_rows):
+        from msm_tpu.ops.pallas_convert import make_convert_pack
+
+        tile = min(1024, n)
+        return None, make_convert_pack(ec.cfg, tile=tile)(x_u16, y_u16)
+    return u16_to_mont_points(ec, x_u16, y_u16), None
+
+
 def u16_to_mont_points(
     ec: CurveCtx, x_u16: jax.Array, y_u16: jax.Array
 ) -> PointBatch:

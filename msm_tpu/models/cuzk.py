@@ -48,9 +48,8 @@ def cuzk_window_sums(
     """Device pipeline: u16-word inputs [n, 16] -> window sums [S, 3, L]
     (standard-form projective limbs)."""
     ec = get_curve_ctx(cfg)
-    pts = common.u16_to_mont_points(ec, x_u16, y_u16)
+    pts, packed = common.prepare_points(ec, x_u16, y_u16, geom.num_rows)
     keys, signs = decompose_signed(s_u16, cfg.chunk_size, cfg.num_subtasks)
-    packed = common.pack_points(pts)  # once; shared by all subtasks
 
     def subtask(args):
         k, s = args

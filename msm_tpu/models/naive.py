@@ -43,10 +43,9 @@ def naive_window_sums(
     geom: MsmGeometry,
 ) -> jax.Array:
     ec = get_curve_ctx(cfg)
-    pts = common.u16_to_mont_points(ec, x_u16, y_u16)
+    pts, packed = common.prepare_points(ec, x_u16, y_u16, geom.num_rows)
     keys = extract_windows(s_u16, cfg.chunk_size, cfg.num_subtasks)  # [S, n]
     num_buckets = 1 << cfg.chunk_size
-    packed = common.pack_points(pts)
 
     def subtask(k):
         buckets = bucket_accumulate(

@@ -116,6 +116,7 @@ def make_scan_rows(
     inclusive point-prefix per lane as three [C, R, L] arrays (Montgomery
     projective limbs, balanced encoding).
     """
+    tile = min(tile, R)  # small geometries: one tile spans all lanes
     L = cfg.num_words
     P = packed_width(L)
     b3 = (3 * cfg.curve.b * cfg.r) % cfg.curve.modulus

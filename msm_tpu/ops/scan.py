@@ -191,9 +191,17 @@ def bucket_accumulate(
     return ec.add(pe, ec.neg(prev))
 
 
+def fused_scan_available(n: int, num_rows: int) -> bool:
+    """True when the Pallas mixed-add scan kernel can run this geometry
+    (single source of truth for models deciding the fused convert path)."""
+    from msm_tpu.ops.curve import _pallas_enabled
+
+    return _pallas_enabled() and n % num_rows == 0 and num_rows % 256 == 0
+
+
 def _sorted_prefix(
     ec: CurveCtx,
-    pts: PointBatch,
+    pts: PointBatch | None,
     perm: jax.Array,
     signs: jax.Array | None,
     num_rows: int,
@@ -202,19 +210,17 @@ def _sorted_prefix(
 ) -> tuple[PointBatch, PointBatch]:
     """Gather points into sorted order (one fused packed gather) and run the
     blocked prefix scan — via the fused Pallas mixed-add kernel when the
-    points are affine and we're on TPU, else the generic XLA path."""
-    from msm_tpu.ops.curve import _pallas_enabled
-
+    points are affine and we're on TPU, else the generic XLA path.
+    ``pts`` may be None when ``packed`` is given and the kernel path is
+    available (the fused-convert models never materialize the PointBatch)."""
     n = perm.shape[0]
     R = num_rows
-    L = pts.x.shape[-1]
-    use_kernel = (
-        affine
-        and _pallas_enabled()
-        and n % R == 0
-        and R % 256 == 0
+    use_kernel = affine and fused_scan_available(n, R) and (
+        packed is not None or pts is not None
     )
     if not use_kernel:
+        assert pts is not None, "XLA path needs the unpacked PointBatch"
+        L = pts.x.shape[-1]
         cat = jnp.concatenate([pts.x, pts.y, pts.z], axis=-1)[perm]
         spts = PointBatch(cat[..., :L], cat[..., L : 2 * L], cat[..., 2 * L :])
         if signs is not None:

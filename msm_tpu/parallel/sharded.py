@@ -73,9 +73,8 @@ def _local_window_sums_mont(
     """Single-shard cuZK stages 1-4: u16 inputs [m, 16] -> Montgomery window
     sums [S, 3, L] (same body as models.cuzk.cuzk_window_sums, pre-export)."""
     ec = get_curve_ctx(cfg)
-    pts = common.u16_to_mont_points(ec, x_u16, y_u16)
+    pts, packed = common.prepare_points(ec, x_u16, y_u16, geom.num_rows)
     keys, signs = decompose_signed(s_u16, cfg.chunk_size, cfg.num_subtasks)
-    packed = common.pack_points(pts)
 
     def subtask(args):
         k, s = args

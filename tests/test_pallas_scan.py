@@ -62,3 +62,37 @@ def test_pack_roundtrip():
     hi = p >> 16
     back = jnp.stack([lo, hi], axis=-1).reshape(32, -1)[:, : CFG.num_words]
     assert bool(jnp.all(back == x))
+
+
+def test_fused_convert_pack_matches_xla():
+    """The fused convert kernel (word extract + to-Montgomery + pack) must
+    equal the XLA conversion followed by packing, value-for-value."""
+    import jax
+
+    from msm_tpu.ops.pallas_convert import make_convert_pack
+    from msm_tpu.utils.limbs import limbs_to_int
+
+    ec = get_curve_ctx(CFG)
+    cv = Curve(CFG.curve)
+    n = 256
+    pts_j = cv.sample_points(32, seed=7)
+    aff = [cv.to_affine(p) for p in pts_j]
+    pts_a = [aff[i % 32] for i in range(n)]
+    x_u16, y_u16, _ = common.pad_inputs(pts_a, [0] * n, CFG)
+    xd, yd = jnp.asarray(x_u16)[:n], jnp.asarray(y_u16)[:n]
+
+    got = np.asarray(make_convert_pack(CFG, tile=128, interpret=True)(xd, yd))
+    pts = common.u16_to_mont_points(ec, xd, yd)
+    P = packed_width(CFG.num_words)
+    p = CFG.curve.modulus
+    f = ec.f
+    # unpack the kernel output and compare VALUES mod p (balanced encodings
+    # may differ between the kernel's and FieldCtx's mont_mul)
+    for col, ref in ((got[:, :P], pts.x), (got[:, P:], pts.y)):
+        lo = (col.astype(np.int64) << 48 >> 48).astype(np.int64)  # sext16
+        hi = col.astype(np.int64) >> 16
+        limbs = np.stack([lo, hi], axis=-1).reshape(n, -1)[:, : CFG.num_words]
+        for i in range(0, n, 37):
+            va = limbs_to_int(limbs[i], CFG.word_size) % p
+            vb = limbs_to_int(np.asarray(ref[i]), CFG.word_size) % p
+            assert va == vb, i
