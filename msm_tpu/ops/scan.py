@@ -316,18 +316,37 @@ def bucket_reduce_blocked(
     assert Bl & (Bl - 1) == 0, f"block size {Bl} must be a power of two"
     L = buckets.x.shape[-1]
 
-    def arrange(a):  # body [B-1] -> [Bl, T] steps-major, descending in-block
-        return a[1:].reshape(T, Bl, L).swapaxes(0, 1)[::-1]
+    from msm_tpu.ops.curve import _pallas_enabled
 
-    xs = PointBatch(arrange(buckets.x), arrange(buckets.y), arrange(buckets.z))
+    if _pallas_enabled() and T % 8 == 0:
+        # fused phase-1 kernel: (m, g) live in VMEM across all Bl steps
+        from msm_tpu.ops.pallas_bpr import make_bpr_phase1
 
-    def step(carry, s):
-        m, g = carry
-        m = ec.add(m, s)
-        g = ec.add(g, m)
-        return (m, g), None
+        def arr(a):  # body [B-1] -> [Bl, T, L] steps-major (ascending)
+            return a[1:].reshape(T, Bl, L).swapaxes(0, 1)
 
-    (m, g), _ = jax.lax.scan(step, (ec.identity((T,)), ec.identity((T,))), xs)
+        mc, gc = make_bpr_phase1(ec.cfg, Bl, T)(
+            arr(buckets.x), arr(buckets.y), arr(buckets.z)
+        )
+        m, g = PointBatch(*mc), PointBatch(*gc)
+    else:
+
+        def arrange(a):  # steps-major, descending in-block
+            return a[1:].reshape(T, Bl, L).swapaxes(0, 1)[::-1]
+
+        xs = PointBatch(
+            arrange(buckets.x), arrange(buckets.y), arrange(buckets.z)
+        )
+
+        def step(carry, s):
+            mm, gg = carry
+            mm = ec.add(mm, s)
+            gg = ec.add(gg, mm)
+            return (mm, gg), None
+
+        (m, g), _ = jax.lax.scan(
+            step, (ec.identity((T,)), ec.identity((T,))), xs
+        )
     total_g = tree_reduce_points(ec, g)
     # sum_t t*m_t = sum_j suffix_j - suffix_0 (suffix_j = sum_{t>=j} m_t):
     # one reverse Hillis-Steele + one reduce — no per-thread scalar-mul

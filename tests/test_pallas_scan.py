@@ -96,3 +96,45 @@ def test_fused_convert_pack_matches_xla():
             va = limbs_to_int(limbs[i], CFG.word_size) % p
             vb = limbs_to_int(np.asarray(ref[i]), CFG.word_size) % p
             assert va == vb, i
+
+
+def test_fused_bpr_matches_xla_reduce():
+    """Fused BPR phase-1 kernel (interpret) + the shared tail must equal
+    bucket_reduce_blocked's XLA scan path."""
+    from msm_tpu.ops.pallas_bpr import make_bpr_phase1
+    from msm_tpu.ops.scan import (
+        bucket_reduce_blocked,
+        hillis_steele_prefix,
+        tree_reduce_points,
+    )
+
+    ec = get_curve_ctx(CFG)
+    rng = np.random.default_rng(2)
+    NB, T = 257, 16
+    Bl = (NB - 1) // T
+    L = CFG.num_words
+
+    def rl(shape):
+        return jnp.asarray(
+            rng.integers(0, CFG.mask, size=shape + (L,)), dtype=jnp.int32
+        )
+
+    buckets = PointBatch(rl((NB,)), rl((NB,)), rl((NB,)))
+    want = bucket_reduce_blocked(ec, buckets, T)
+
+    def arr(a):
+        return a[1:].reshape(T, Bl, L).swapaxes(0, 1)
+
+    mc, gc = make_bpr_phase1(CFG, Bl, T, interpret=True)(
+        arr(buckets.x), arr(buckets.y), arr(buckets.z)
+    )
+    m, g = PointBatch(*mc), PointBatch(*gc)
+    total_g = tree_reduce_points(ec, g)
+    suff = hillis_steele_prefix(ec, m, reverse=True)
+    suff_total = tree_reduce_points(ec, suff)
+    s0 = PointBatch(suff.x[0], suff.y[0], suff.z[0])
+    corr = ec.add(suff_total, ec.neg(s0))
+    for _ in range(Bl.bit_length() - 1):
+        corr = ec.double(corr)
+    got = ec.add(total_g, corr)
+    assert bool(jnp.all(ec.eq(want, got)))
