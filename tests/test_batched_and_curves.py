@@ -38,3 +38,25 @@ def test_cuzk_msm_other_curves(curve):
     got = compute_msm_jpoint(pts, ks, cfg)
     want = cv.msm([cv.from_affine(*p) for p in pts], ks)
     assert cv.eq(got, want)
+
+
+@pytest.mark.parametrize("word_size", [12, 13])
+def test_cuzk_msm_word_size_generic(word_size):
+    """Limb-geometry genericity: the whole pipeline parameterizes over
+    word_size like the reference's ShaderManager (13-16 swept in its
+    serialization tests, utils.rs:399-431; >=14 is rejected here by the
+    int32 overflow budget)."""
+    cv = Curve(BN254)
+    cfg = MsmConfig(curve=BN254, word_size=word_size)
+    pts, ks = _sample(cv, 30, seed=21)
+    got = compute_msm_jpoint(pts, ks, cfg)
+    want = cv.msm([cv.from_affine(*p) for p in pts], ks)
+    assert cv.eq(got, want)
+
+
+def test_word_size_14_rejected():
+    """w>=14 overflows int32 column accumulation and must be refused."""
+    from msm_tpu.ops.field import FieldCtx
+
+    with pytest.raises(ValueError):
+        FieldCtx(MsmConfig(curve=BN254, word_size=14))
