@@ -8,13 +8,14 @@ scan — the TPU analogue of the reference's stage-level SMVP parity test
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from msm_tpu.models import common
 from msm_tpu.ops.curve import PointBatch, get_curve_ctx
 from msm_tpu.ops.pallas_scan import make_scan_rows, pack_coords, packed_width
 from msm_tpu.ops.scan import blocked_prefix_scan
 from msm_tpu.oracle.pyecc import Curve
-from msm_tpu.params import BN254, MsmConfig
+from msm_tpu.params import BLS12_377, BN254, PALLAS, MsmConfig
 
 CFG = MsmConfig(curve=BN254)
 
@@ -137,4 +138,38 @@ def test_fused_bpr_matches_xla_reduce():
     for _ in range(Bl.bit_length() - 1):
         corr = ec.double(corr)
     got = ec.add(total_g, corr)
+    assert bool(jnp.all(ec.eq(want, got)))
+
+
+@pytest.mark.parametrize(
+    "curve", [BLS12_377, PALLAS], ids=lambda c: c.name
+)
+def test_fused_scan_other_curves(curve):
+    """Kernel limb-geometry genericity: BLS12-377 (30 limbs, S1=3 path) and
+    Pasta (21 limbs — odd: phase-2 tail step + pack padding)."""
+    cfg = MsmConfig(curve=curve)
+    ec = get_curve_ctx(cfg)
+    cv = Curve(curve)
+    C, R = 2, 256
+    n = C * R
+    pts_j = cv.sample_points(32, seed=11)
+    aff = [cv.to_affine(p) for p in pts_j]
+    pts_a = [aff[i % 32] for i in range(n)]
+    x_u16, y_u16, _ = common.pad_inputs(pts_a, [0] * n, cfg)
+    pts = common.u16_to_mont_points(
+        ec, jnp.asarray(x_u16)[:n], jnp.asarray(y_u16)[:n]
+    )
+    rng = np.random.default_rng(4)
+    signs = jnp.asarray(rng.integers(0, 2, size=(n,)), dtype=jnp.int32)
+    packed = common.pack_points(pts)
+    L = cfg.num_words
+    W = 2 * packed_width(L)
+    scan = make_scan_rows(cfg, C, R, tile=256, interpret=True)
+    rx, ry, rz = scan(
+        packed.reshape(R, C, W).swapaxes(0, 1).reshape(C, R, W),
+        signs.reshape(R, C).swapaxes(0, 1).reshape(C, R),
+    )
+    got = PointBatch(rx, ry, rz)
+    spts = ec.neg_where(signs.astype(bool), pts)
+    want, _ = blocked_prefix_scan(ec, spts, R)
     assert bool(jnp.all(ec.eq(want, got)))
