@@ -103,6 +103,14 @@ def cmd_bench(args) -> None:
     raise SystemExit(subprocess.call(cmd))
 
 
+def cmd_variants(args) -> None:
+    import msm_tpu
+    from msm_tpu.utils.profiling import mont_variant_bench
+
+    cfg = msm_tpu.MsmConfig(curve=msm_tpu.CURVES[args.curve])
+    print(json.dumps(mont_variant_bench(cfg, batch=1 << args.size), indent=2))
+
+
 def cmd_profile(args) -> None:
     from msm_tpu.utils.profiling import stage_timings
 
@@ -122,6 +130,7 @@ def main(argv=None) -> None:
         ("verify", cmd_verify),
         ("bench", cmd_bench),
         ("profile", cmd_profile),
+        ("variants", cmd_variants),
     ]:
         p = sub.add_parser(name)
         p.add_argument("--size", type=int, default=16, help="log2 input size")

@@ -121,3 +121,50 @@ def stage_timings(n: int, cfg, seed: int = 0) -> dict:
     t_s = t["full_pipeline"] / 1e3
     report["field_muls_per_sec"] = round(muls / t_s)
     return report
+
+
+def mont_variant_bench(cfg=None, batch: int = 1 << 16, reps: int = 5) -> dict:
+    """Benchmark the pluggable field-multiplier variants — parity with the
+    reference's benchmarkable Montgomery kernels (mont_pro_product /
+    mont_pro_modified / mont_pro_cios / mont_product harnesses,
+    ``src/cuzk/wgsl/montgomery/``; SURVEY §2.2):
+
+    - ``mont_xla``      — lax.scan fused CIOS (ops/field.py)
+    - ``barrett_xla``   — Barrett multiply (canonical contract)
+    - ``mont_pallas``   — fixed-position multi-limb CIOS Pallas kernel,
+                          measured through a full fused point-add (the
+                          kernel's natural unit; reported per-mul)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from msm_tpu.ops.curve import get_curve_ctx, PointBatch
+    from msm_tpu.ops.field import get_field_ctx
+    from msm_tpu.ops.pallas_curve import make_point_add
+    from msm_tpu.params import DEFAULT_CONFIG
+
+    cfg = cfg or DEFAULT_CONFIG
+    f = get_field_ctx(cfg)
+    ec = get_curve_ctx(cfg)
+    rng = np.random.default_rng(0)
+
+    def rand(shape):
+        return jnp.asarray(
+            rng.integers(0, cfg.mask, size=shape + (cfg.num_words,)),
+            dtype=jnp.int32,
+        )
+
+    a, b = rand((batch,)), rand((batch,))
+    out = {"batch": batch, "word_size": cfg.word_size, "num_words": cfg.num_words}
+    out["mont_xla_ms"] = 1e3 * _timeit(f.mont_mul, a, b, reps=reps)
+    ca, cb = f.canonical(a), f.canonical(b)
+    out["barrett_xla_ms"] = 1e3 * _timeit(f.barrett_mul, ca, cb, reps=reps)
+    p = PointBatch(rand((batch,)), rand((batch,)), rand((batch,)))
+    q = PointBatch(rand((batch,)), rand((batch,)), rand((batch,)))
+    kern = make_point_add(cfg)
+    add_ms = 1e3 * _timeit(
+        lambda *xs: kern(*xs), p.x, p.y, p.z, q.x, q.y, q.z, reps=reps
+    )
+    out["pallas_add_ms"] = add_ms
+    out["mont_pallas_ms_per_mul_equiv"] = add_ms / 15  # alg7: 15 mont ops
+    return out
