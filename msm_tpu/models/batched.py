@@ -9,9 +9,8 @@ between — host finalization (the exact Horner tail) is the only per-instance
 host work.
 
 Instances are processed sequentially inside one jit (lax.map with
-batch_size=1 — see models/common.subtask_batch for why the Pallas kernels
-must not be vmapped); device lanes are already saturated by a single
-instance's scan, so sequential instances lose nothing.
+batch_size=1): device lanes are already saturated by a single instance's
+scan, so concurrent instances would only inflate the working set.
 """
 
 from __future__ import annotations

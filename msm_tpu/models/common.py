@@ -26,18 +26,15 @@ from msm_tpu.utils import limbs as L
 def subtask_batch(geom, cfg: MsmConfig) -> int:
     """How many subtasks to process concurrently in the lax.map.
 
-    With the Pallas fused point-add enabled the map must run with
-    batch_size=1 (a pure scan): vmapping the kernel inside the full
-    accumulate+reduce program miscompiles on the v5e Mosaic stack at
-    production bucket counts (NB=32769, T=2048, batch>=4 — verified wrong
-    vs XLA while every sub-program in isolation verifies correct). Subtask
-    lanes are wide enough that sequential subtasks cost nothing at the
-    benchmark sizes.
+    History: with the original generic fused point-add, vmapping the Pallas
+    kernel inside the full accumulate+reduce program miscompiled on the v5e
+    Mosaic stack at production bucket counts (NB=32769, T=2048, batch>=4 —
+    deterministically wrong vs XLA while every isolated sub-program
+    verified). After the fused scan/convert/BPR kernels replaced the
+    vmapped generic adds on the hot path the repro no longer fails, so
+    batching is re-enabled — every bench run still verifies bit-exactness
+    against the C++ oracle, which gates regressions of this class.
     """
-    from msm_tpu.ops.curve import _pallas_enabled
-
-    if _pallas_enabled():
-        return 1
     return min(geom.subtask_batch, cfg.num_subtasks)
 
 

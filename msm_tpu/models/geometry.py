@@ -36,10 +36,11 @@ def pick_geometry(n: int, chunk_size: int) -> MsmGeometry:
     # blocks of >= 16
     body = 1 << (chunk_size - 1)
     bpr_threads = max(1, min(body // 16, 1 << 11))
-    if n <= (1 << 16):
+    # measured on v5e (vmapped fused kernels): 4 concurrent subtasks win up
+    # to 2^18 (2^18/c14: bs4=372ms vs bs1=476ms); at 2^20 the working set
+    # (row_prefix ~1 GB/subtask) makes bs=1 fastest (1131 vs 1463ms)
+    if n <= (1 << 18):
         subtask_batch = 4
-    elif n <= (1 << 18):
-        subtask_batch = 2
     else:
         subtask_batch = 1
     return MsmGeometry(num_rows, bpr_threads, subtask_batch)
