@@ -173,9 +173,19 @@ def bucket_accumulate(
     Returns buckets [num_buckets] with bucket_b = sum_{keys==b} ±P_i.
     """
     n = keys.shape[0]
-    sorted_keys, perm = jax.lax.sort_key_val(keys, jnp.arange(n, dtype=jnp.int32))
+    # ride the sign bit inside the sort payload: gathers are per-row
+    # latency-bound on TPU (~8 ms for 2^20 rows regardless of width), so a
+    # separate signs[perm] gather would cost as much as the coordinate
+    # gather itself
+    sbit = max((n - 1).bit_length(), 1)
+    payload = jnp.arange(n, dtype=jnp.int32)
+    if signs is not None:
+        assert sbit + 1 < 32, n
+        payload = payload | (signs.astype(jnp.int32) << sbit)
+    sorted_keys, pv = jax.lax.sort_key_val(keys, payload)
     row_prefix, offsets = _sorted_prefix(
-        ec, pts, perm, signs, num_rows, affine=affine, packed=packed
+        ec, pts, pv, sbit if signs is not None else None, num_rows,
+        affine=affine, packed=packed,
     )
     ends = _counts_leq(sorted_keys, num_buckets)
     pe = prefix_at(ec, row_prefix, offsets, ends - 1)
@@ -218,8 +228,8 @@ def fused_scan_available(n: int, num_rows: int) -> bool:
 def _sorted_prefix(
     ec: CurveCtx,
     pts: PointBatch | None,
-    perm: jax.Array,
-    signs: jax.Array | None,
+    pv: jax.Array,
+    sbit: int | None,
     num_rows: int,
     affine: bool,
     packed: jax.Array | None = None,
@@ -227,20 +237,25 @@ def _sorted_prefix(
     """Gather points into sorted order (one fused packed gather) and run the
     blocked prefix scan — via the fused Pallas mixed-add kernel when the
     points are affine and we're on TPU, else the generic XLA path.
+
+    ``pv``: the sort payload — point index in bits [0, sbit), the bucket
+    sign in bit sbit (``sbit=None`` means unsigned: pv IS the permutation).
     ``pts`` may be None when ``packed`` is given and the kernel path is
     available (the fused-convert models never materialize the PointBatch)."""
-    n = perm.shape[0]
+    n = pv.shape[0]
     R = num_rows
     use_kernel = affine and fused_scan_available(n, R) and (
         packed is not None or pts is not None
     )
+    idx_mask = (1 << sbit) - 1 if sbit is not None else None
     if not use_kernel:
         assert pts is not None, "XLA path needs the unpacked PointBatch"
+        perm = pv if sbit is None else pv & idx_mask
         L = pts.x.shape[-1]
         cat = jnp.concatenate([pts.x, pts.y, pts.z], axis=-1)[perm]
         spts = PointBatch(cat[..., :L], cat[..., L : 2 * L], cat[..., 2 * L :])
-        if signs is not None:
-            spts = ec.neg_where(signs[perm], spts)
+        if sbit is not None:
+            spts = ec.neg_where((pv >> sbit).astype(bool), spts)
         return blocked_prefix_scan(ec, spts, R)
 
     from msm_tpu.ops.pallas_scan import make_scan_rows, pack_coords
@@ -251,15 +266,16 @@ def _sorted_prefix(
             [pack_coords(pts.x), pack_coords(pts.y)], axis=-1
         )
     # step-major storage (element (c, r) = sorted position r*C + c) is
-    # produced by transposing the 4 MB permutation VECTOR, not the gathered
+    # produced by transposing the 4 MB payload VECTOR, not the gathered
     # coordinate data — the gather lands directly in kernel layout
-    perm2 = perm.reshape(R, C).swapaxes(0, 1).reshape(n)
-    g = packed[perm2]  # [n, 2P] — half the gather bytes of unpacked x||y
-    sg = (
-        signs[perm2].astype(jnp.int32)
-        if signs is not None
-        else jnp.zeros((n,), jnp.int32)
-    )
+    pv2 = pv.reshape(R, C).swapaxes(0, 1).reshape(n)
+    if sbit is not None:
+        perm2 = pv2 & idx_mask
+        sg = pv2 >> sbit
+    else:
+        perm2 = pv2
+        sg = jnp.zeros((n,), jnp.int32)
+    g = packed[perm2]  # [n, 2P] — the ONLY per-subtask gather
     W = g.shape[-1]
     rx, ry, rz = make_scan_rows(ec.cfg, C, R)(
         g.reshape(C, R, W), sg.reshape(C, R)
