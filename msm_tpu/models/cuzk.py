@@ -57,16 +57,21 @@ def cuzk_window_sums(
             ec, pts, k, cfg.num_buckets, geom.num_rows, signs=s, affine=True,
             packed=packed,
         )
-        w = bucket_reduce_blocked(ec, buckets, geom.bpr_threads)
-        return jnp.stack([w.x, w.y, w.z])
+        return jnp.stack([buckets.x, buckets.y, buckets.z])
 
-    ws_m = jax.lax.map(
+    bk = jax.lax.map(
         subtask, (keys, signs), batch_size=common.subtask_batch(geom, cfg)
-    )  # [S, 3, L] Montgomery
+    )  # [S, 3, NB, L] Montgomery
     from msm_tpu.ops.curve import PointBatch
 
-    wpts = PointBatch(ws_m[:, 0], ws_m[:, 1], ws_m[:, 2])
-    return common.export_points_std(ec, wpts)
+    # one reduction over ALL subtasks at once: the BPR tree/suffix levels are
+    # ~35 small point-add dispatches each — batching them 16-wide amortizes
+    # the per-dispatch overhead (measured 513 -> 77 ms at chunk 16 on v5e)
+    bpts = PointBatch(bk[:, 0], bk[:, 1], bk[:, 2])
+    w = jax.vmap(lambda b: bucket_reduce_blocked(ec, b, geom.bpr_threads))(
+        bpts
+    )
+    return common.export_points_std(ec, w)
 
 
 def compute_msm(

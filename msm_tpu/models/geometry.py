@@ -29,18 +29,18 @@ class MsmGeometry:
 def pick_geometry(n: int, chunk_size: int) -> MsmGeometry:
     """n must be a power of two (the host pads, like msm.rs:48-61)."""
     assert n & (n - 1) == 0 and n > 0
-    # scan lanes: as wide as possible; keep >= 8 sequential steps so the
-    # row-offset tree scan (over R lanes) stays cheap relative to row scans
-    num_rows = max(1, min(n // 8, 1 << 16))
+    # scan lanes: wide enough to fill the VPU tiles, small enough that the
+    # row-offset prefix machinery (~2R projective adds + its dispatch chain)
+    # stays minor next to the n-madd row scan (R sweep at 2^20 on v5e:
+    # 65536=72.9ms, 32768=69.9, 16384=68.5, 8192=70.0 per subtask)
+    num_rows = max(1, min(n // 8, 1 << 14))
     # bucket-reduction lanes: body = 2^(c-1) buckets split into power-of-two
     # blocks of >= 16
     body = 1 << (chunk_size - 1)
     bpr_threads = max(1, min(body // 16, 1 << 11))
-    # measured on v5e (vmapped fused kernels): 4 concurrent subtasks win up
-    # to 2^18 (2^18/c14: bs4=372ms vs bs1=476ms); at 2^20 the working set
-    # (row_prefix ~1 GB/subtask) makes bs=1 fastest (1131 vs 1463ms)
-    if n <= (1 << 18):
-        subtask_batch = 4
-    else:
-        subtask_batch = 1
+    # measured on v5e (fused kernels, batched bucket reduction): 4 concurrent
+    # subtasks win through 2^20 (bs1=887ms bs2=864 bs4=820; bs8 OOMs). The
+    # HBM governor: row_prefix is ~1536n bytes/subtask in the lane-padded
+    # [.., L] layout, so beyond 2^20 the batch must shrink to fit ~16 GB.
+    subtask_batch = 4 if n <= (1 << 20) else 1
     return MsmGeometry(num_rows, bpr_threads, subtask_batch)
