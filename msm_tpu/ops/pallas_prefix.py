@@ -1,0 +1,156 @@
+"""Pallas TPU kernel: fused exclusive prefix point-sums over scan-row totals.
+
+Role: the row-offsets stage of the blocked SMVP scan (cuZK stage-3 epilogue).
+The XLA version (``ops/scan.exclusive_prefix_points``) runs a 4-step
+``lax.scan`` + a 12-level Hillis–Steele ladder — ~25 separate point-add
+dispatches per subtask, each a full HBM round-trip of the [R] accumulator
+(~30-40 ms per 2^20 MSM on v5e, almost all dispatch/copy overhead). Here the
+whole computation runs in ONE kernel with everything resident in VMEM:
+
+- lane b owns the contiguous row chunk [b*C2, (b+1)*C2);
+- pass 1: serial fori over the C2 in-chunk steps accumulating per-lane totals;
+- a masked-roll Hillis–Steele ladder (log2(B2) levels) turns lane totals into
+  exclusive cross-lane offsets (``pltpu.roll`` + identity fill — the in-VMEM
+  analogue of ``ops/scan._shift_in_identity``);
+- pass 2: re-runs the serial accumulation seeded with each lane's offset,
+  emitting the exclusive prefix for every row.
+
+Work: 2R + B2*log2(B2) complete adds (RCB16 Algorithm 7) vs the XLA path's
+~2R + 3*LANES*log adds — same order, but 1 dispatch instead of ~25 and zero
+HBM round-trips. Reference analogue: none (the reference's transpose produces
+CSC col_ptr by serial prefix sum, ``transpose.template.wgsl:58-61``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from msm_tpu.ops.pallas_curve import _rcb16_add
+from msm_tpu.params import MsmConfig
+from msm_tpu.utils.limbs import int_to_limbs
+
+DEFAULT_LANES = 1024
+
+
+@functools.lru_cache(maxsize=None)
+def make_row_offsets(
+    cfg: MsmConfig,
+    R: int,
+    lanes: int = DEFAULT_LANES,
+    interpret: bool = False,
+):
+    """Build the fused exclusive-prefix: three [L, R] limbs-first coordinate
+    arrays (Montgomery projective, balanced limbs) -> three [R, L] arrays
+    where out[r] = sum_{r' < r} in[r'] (point addition; out[0] = identity)."""
+    B2 = min(lanes, R)
+    assert R % B2 == 0 and B2 % 128 == 0, (R, B2)
+    C2 = R // B2
+    L = cfg.num_words
+    nlev = (B2 - 1).bit_length()
+    b3 = (3 * cfg.curve.b * cfg.r) % cfg.curve.modulus
+    b3m_np = int_to_limbs(b3, cfg.word_size, L).astype(np.int32)[:, None]
+    q_np = int_to_limbs(cfg.curve.modulus, cfg.word_size, L).astype(np.int32)[
+        :, None
+    ]
+    rm_np = int_to_limbs(cfg.r, cfg.word_size, L).astype(np.int32)[:, None]
+    add_points = _rcb16_add(cfg)
+
+    def kernel(q, b3m, rm, ix, iy, iz, ox, oy, oz, ax, ay, az, mont_acc):
+        ident_y = rm[:] + jnp.zeros((L, B2), jnp.int32)
+        zero = jnp.zeros((L, B2), jnp.int32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (L, B2), 1)
+
+        def add(p, s):
+            return add_points(q[:], b3m[:], mont_acc, *p, *s)
+
+        # pass 1: per-lane totals of the C2 chunk steps
+        ax[:], ay[:], az[:] = zero, ident_y, zero
+
+        def tot_body(c, _):
+            s = (
+                ix[:, pl.ds(c, 1), :][:, 0, :],
+                iy[:, pl.ds(c, 1), :][:, 0, :],
+                iz[:, pl.ds(c, 1), :][:, 0, :],
+            )
+            ax[:], ay[:], az[:] = add((ax[:], ay[:], az[:]), s)
+            return 0
+
+        jax.lax.fori_loop(0, C2, tot_body, 0)
+
+        # Hillis-Steele: inclusive cross-lane prefix of the totals
+        def shift_ident(p, k):
+            m = lane < k
+            return (
+                jnp.where(m, 0, pltpu.roll(p[0], k, 1)),
+                jnp.where(m, ident_y, pltpu.roll(p[1], k, 1)),
+                jnp.where(m, 0, pltpu.roll(p[2], k, 1)),
+            )
+
+        def lev_body(j, _):
+            k = jnp.int32(1) << j
+            cur = (ax[:], ay[:], az[:])
+            ax[:], ay[:], az[:] = add(cur, shift_ident(cur, k))
+            return 0
+
+        jax.lax.fori_loop(0, nlev, lev_body, 0)
+        # exclusive: shift the inclusive prefix right one lane (no add)
+        ex, ey, ez = shift_ident((ax[:], ay[:], az[:]), jnp.int32(1))
+        ax[:], ay[:], az[:] = ex, ey, ez
+
+        # pass 2: re-accumulate, seeded with the lane offset, writing the
+        # exclusive prefix for every row
+        def out_body(c, _):
+            ox[:, pl.ds(c, 1), :] = ax[:][:, None, :]
+            oy[:, pl.ds(c, 1), :] = ay[:][:, None, :]
+            oz[:, pl.ds(c, 1), :] = az[:][:, None, :]
+            s = (
+                ix[:, pl.ds(c, 1), :][:, 0, :],
+                iy[:, pl.ds(c, 1), :][:, 0, :],
+                iz[:, pl.ds(c, 1), :][:, 0, :],
+            )
+            ax[:], ay[:], az[:] = add((ax[:], ay[:], az[:]), s)
+            return 0
+
+        jax.lax.fori_loop(0, C2, out_body, 0)
+
+    def row_offsets(tx, ty, tz):
+        assert tx.shape == (L, R), (tx.shape, (L, R))
+        # lane b owns rows [b*C2, (b+1)*C2): view (l, c, b) = in[l, b*C2 + c]
+        # (minor dim B2 keeps the VMEM tiling unpadded)
+        def prep(a):
+            return a.reshape(L, B2, C2).swapaxes(1, 2)
+
+        spec = pl.BlockSpec(
+            (L, C2, B2), lambda: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        cspec = pl.BlockSpec((L, 1), lambda: (0, 0), memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((L, C2, B2), jnp.int32)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(),
+            in_specs=[cspec, cspec, cspec] + [spec] * 3,
+            out_specs=(spec,) * 3,
+            out_shape=(out_shape,) * 3,
+            scratch_shapes=[pltpu.VMEM((L, B2), jnp.int32)] * 3
+            + [pltpu.VMEM((2 * L + 1, B2), jnp.int32)],
+            interpret=interpret,
+        )(
+            jnp.asarray(q_np),
+            jnp.asarray(b3m_np),
+            jnp.asarray(rm_np),
+            prep(tx),
+            prep(ty),
+            prep(tz),
+        )
+        # back to [R, L] batch-last layout for gather_points consumers
+        return tuple(
+            o.swapaxes(1, 2).reshape(L, R).T for o in outs
+        )
+
+    return row_offsets

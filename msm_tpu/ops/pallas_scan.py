@@ -137,39 +137,43 @@ def make_scan_rows(
             accy[:] = rm[:] + jnp.zeros_like(accy)
             accz[:] = jnp.zeros_like(accz)
 
-        packed = pxy[0].T  # [2P, tile]
+        packed = pxy[0]  # [2P, tile] — coords-first, no transpose needed
         x2 = _unpack_cols(packed[:P], L)
         y2 = _unpack_cols(packed[P:], L)
-        y2 = jnp.where(sg[0].T != 0, -y2, y2)  # sg[0]: [tile, 1]
+        y2 = jnp.where(sg[0] != 0, -y2, y2)  # sg[0]: [1, tile]
         x3, y3, z3 = madd(
             q[:], b3m[:], mont_acc, accx[:], accy[:], accz[:], x2, y2
         )
         accx[:] = x3
         accy[:] = y3
         accz[:] = z3
-        ox[0] = x3.T
-        oy[0] = y3.T
-        oz[0] = z3.T
+        ox[0] = x3
+        oy[0] = y3
+        oz[0] = z3
 
     def scan_rows(pxy, signs):
-        assert pxy.shape == (C, R, 2 * P), (pxy.shape, (C, R, 2 * P))
-        assert signs.shape == (C, R), signs.shape
+        """pxy: [C, 2P, R] coords-second-minor (lane dim R matches the
+        hardware tiling, so neither the gathered input nor the [C, L, R]
+        prefix outputs need an XLA layout copy — measured ~70 ms of pure
+        data-formatting at 2^20 with the old [C, R, 2P]/[C, R, L] shapes);
+        signs: [C, 1, R]."""
+        assert pxy.shape == (C, 2 * P, R), (pxy.shape, (C, 2 * P, R))
+        assert signs.shape == (C, 1, R), signs.shape
         assert R % tile == 0, (R, tile)
-        signs = signs[..., None]  # [C, R, 1] — keeps blocks (…, tile, 1)
         grid = (R // tile, C)
         inspec = pl.BlockSpec(
-            (1, tile, 2 * P), lambda r, c: (c, r, 0), memory_space=pltpu.VMEM
+            (1, 2 * P, tile), lambda r, c: (c, 0, r), memory_space=pltpu.VMEM
         )
         sgspec = pl.BlockSpec(
-            (1, tile, 1), lambda r, c: (c, r, 0), memory_space=pltpu.VMEM
+            (1, 1, tile), lambda r, c: (c, 0, r), memory_space=pltpu.VMEM
         )
         outspec = pl.BlockSpec(
-            (1, tile, L), lambda r, c: (c, r, 0), memory_space=pltpu.VMEM
+            (1, L, tile), lambda r, c: (c, 0, r), memory_space=pltpu.VMEM
         )
         cspec = pl.BlockSpec(
             (L, 1), lambda r, c: (0, 0), memory_space=pltpu.VMEM
         )
-        out_shape = jax.ShapeDtypeStruct((C, R, L), jnp.int32)
+        out_shape = jax.ShapeDtypeStruct((C, L, R), jnp.int32)
         return pl.pallas_call(
             kernel,
             grid=grid,

@@ -43,13 +43,39 @@ def test_fused_scan_matches_blocked_scan():
 
     scan = make_scan_rows(CFG, C, R, tile=256, interpret=True)
     rx, ry, rz = scan(
-        arrange(packed, 2 * packed_width(L)),
-        signs.reshape(R, C).swapaxes(0, 1),
+        arrange(packed, 2 * packed_width(L)).swapaxes(1, 2),  # [C, 2P, R]
+        signs.reshape(R, C).swapaxes(0, 1).reshape(C, 1, R),
     )
-    got = PointBatch(rx, ry, rz)
+    got = PointBatch(  # [C, L, R] -> [C, R, L]
+        rx.swapaxes(1, 2), ry.swapaxes(1, 2), rz.swapaxes(1, 2)
+    )
 
     spts = ec.neg_where(signs.astype(bool), pts)
     want, _ = blocked_prefix_scan(ec, spts, R)
+    assert bool(jnp.all(ec.eq(want, got)))
+
+
+def test_row_offsets_kernel_matches_xla():
+    """Fused exclusive-prefix kernel (interpret) vs exclusive_prefix_points,
+    including the multi-chunk (C2 > 1) lane ownership path."""
+    from msm_tpu.ops.pallas_prefix import make_row_offsets
+    from msm_tpu.ops.scan import exclusive_prefix_points
+
+    ec = get_curve_ctx(CFG)
+    cv = Curve(CFG.curve)
+    R = 512
+    pts_j = cv.sample_points(64, seed=3)
+    aff = [cv.to_affine(p) for p in pts_j]
+    pts_a = [aff[i % 64] for i in range(R)]
+    x_u16, y_u16, _ = common.pad_inputs(pts_a, [0] * R, CFG)
+    pts = common.u16_to_mont_points(
+        ec, jnp.asarray(x_u16)[:R], jnp.asarray(y_u16)[:R]
+    )
+    want = exclusive_prefix_points(ec, pts)
+    ox, oy, oz = make_row_offsets(CFG, R, lanes=256, interpret=True)(
+        pts.x.T, pts.y.T, pts.z.T
+    )
+    got = PointBatch(ox, oy, oz)
     assert bool(jnp.all(ec.eq(want, got)))
 
 
@@ -166,10 +192,12 @@ def test_fused_scan_other_curves(curve):
     W = 2 * packed_width(L)
     scan = make_scan_rows(cfg, C, R, tile=256, interpret=True)
     rx, ry, rz = scan(
-        packed.reshape(R, C, W).swapaxes(0, 1).reshape(C, R, W),
-        signs.reshape(R, C).swapaxes(0, 1).reshape(C, R),
+        packed.reshape(R, C, W).swapaxes(0, 1).swapaxes(1, 2),  # [C, W, R]
+        signs.reshape(R, C).swapaxes(0, 1).reshape(C, 1, R),
     )
-    got = PointBatch(rx, ry, rz)
+    got = PointBatch(  # [C, L, R] -> [C, R, L]
+        rx.swapaxes(1, 2), ry.swapaxes(1, 2), rz.swapaxes(1, 2)
+    )
     spts = ec.neg_where(signs.astype(bool), pts)
     want, _ = blocked_prefix_scan(ec, spts, R)
     assert bool(jnp.all(ec.eq(want, got)))
