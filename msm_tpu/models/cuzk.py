@@ -30,7 +30,7 @@ from msm_tpu.models import common
 from msm_tpu.models.geometry import MsmGeometry, pick_geometry
 from msm_tpu.ops.curve import CurveCtx, get_curve_ctx
 from msm_tpu.ops.decompose import decompose_signed
-from msm_tpu.ops.scan import bucket_accumulate, bucket_reduce_blocked
+from msm_tpu.ops.scan import bucket_boundary_prefix, window_sum_from_pe
 from msm_tpu.oracle.pyecc import JPoint
 from msm_tpu.params import DEFAULT_CONFIG, MsmConfig
 
@@ -53,24 +53,22 @@ def cuzk_window_sums(
 
     def subtask(args):
         k, s = args
-        buckets = bucket_accumulate(
+        pe = bucket_boundary_prefix(
             ec, pts, k, cfg.num_buckets, geom.num_rows, signs=s, affine=True,
             packed=packed,
         )
-        return jnp.stack([buckets.x, buckets.y, buckets.z])
+        return jnp.stack([pe.x, pe.y, pe.z])
 
     bk = jax.lax.map(
         subtask, (keys, signs), batch_size=common.subtask_batch(geom, cfg)
-    )  # [S, 3, NB, L] Montgomery
+    )  # [S, 3, NB, L] Montgomery boundary prefixes
     from msm_tpu.ops.curve import PointBatch
 
-    # one reduction over ALL subtasks at once: the BPR tree/suffix levels are
-    # ~35 small point-add dispatches each — batching them 16-wide amortizes
-    # the per-dispatch overhead (measured 513 -> 77 ms at chunk 16 on v5e)
-    bpts = PointBatch(bk[:, 0], bk[:, 1], bk[:, 2])
-    w = jax.vmap(lambda b: bucket_reduce_blocked(ec, b, geom.bpr_threads))(
-        bpts
-    )
+    # telescoped bucket reduction over ALL subtasks at once: W is computed
+    # straight from the boundary prefixes (window_sum_from_pe), so neither
+    # the per-bucket differences nor the two-phase BPR run in production
+    pe16 = PointBatch(bk[:, 0], bk[:, 1], bk[:, 2])
+    w = jax.vmap(lambda p: window_sum_from_pe(ec, p))(pe16)
     return common.export_points_std(ec, w)
 
 

@@ -34,10 +34,11 @@ def pick_geometry(n: int, chunk_size: int) -> MsmGeometry:
     # stays minor next to the n-madd row scan (R sweep at 2^20 on v5e:
     # 65536=72.9ms, 32768=69.9, 16384=68.5, 8192=70.0 per subtask)
     num_rows = max(1, min(n // 8, 1 << 14))
-    # bucket-reduction lanes: body = 2^(c-1) buckets split into power-of-two
-    # blocks of >= 16
+    # bucket-reduction lanes (parity/naive paths only — production uses the
+    # telescoped window_sum_from_pe): body = 2^(c-1) buckets in power-of-two
+    # blocks; T=512 measured best (x16 batched: 512=54ms vs 2048=73ms)
     body = 1 << (chunk_size - 1)
-    bpr_threads = max(1, min(body // 16, 1 << 11))
+    bpr_threads = max(1, min(body // 16, 1 << 9))
     # measured on v5e (fused kernels, batched bucket reduction): 4 concurrent
     # subtasks win through 2^20 (bs1=887ms bs2=864 bs4=820; bs8 OOMs). The
     # HBM governor: row_prefix is ~1536n bytes/subtask in the lane-padded

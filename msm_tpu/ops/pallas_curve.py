@@ -122,25 +122,52 @@ def _make_field_ops(cfg: MsmConfig, q_col: jax.Array, acc_ref):
             acc_ref[i : i + W1] += s
         # one parallel sweep: columns -> < 2^13 + 2^17.4
         acc_ref[:] = sweep(acc_ref[:])
-        # phase 2: REDC, clearing two low rows per step
+        # phase 2: REDC, RW low rows cleared per pass. Widening amortizes
+        # the (L+RW)-row scratch read-modify-write over RW limbs (the m_j*q
+        # MAC count per limb is fixed at L; the RMW traffic is ~2(L+RW)/RW
+        # row-ops per limb — 21 at RW=2, 12 at RW=4). The m_j chain inside
+        # a pass resolves each low row with the carries and cross-terms of
+        # the pass's earlier m's before deriving the next m (same recurrence
+        # as the 2-wide version, extended).
         qb = q_col + jnp.zeros((L, T), jnp.int32)
-        q_ext0 = jnp.concatenate([qb, zrow], axis=0)  # [L+1, T]
-        q_ext1 = jnp.concatenate([zrow, qb], axis=0)
-        for i in range(0, L - 1, 2):
-            r0 = acc_ref[i : i + 1]
-            m0 = ((r0 & mask) * n0) & mask
-            c0 = (r0 + m0 * q_col[0:1]) >> w
-            r1 = acc_ref[i + 1 : i + 2] + m0 * q_col[1:2] + c0
-            m1 = ((r1 & mask) * n0) & mask
-            acc_ref[i : i + L + 1] += m0 * q_ext0 + m1 * q_ext1
-            acc_ref[i + 1 : i + 2] += acc_ref[i : i + 1] >> w
-            acc_ref[i + 2 : i + 3] += acc_ref[i + 1 : i + 2] >> w
-        if L % 2:  # odd limb count: final single REDC step
-            i = L - 1
-            r0 = acc_ref[i : i + 1]
-            m0 = ((r0 & mask) * n0) & mask
-            acc_ref[i : i + L] += m0 * qb
-            acc_ref[i + 1 : i + 2] += acc_ref[i : i + 1] >> w
+        RW = next(rw for rw in (4, 3, 2, 1) if L >= rw)
+        q_ext = [
+            jnp.concatenate([zrow] * j + [qb] + [zrow] * (RW - 1 - j), axis=0)
+            for j in range(RW)
+        ]  # each [L+RW-1, T]
+        i = 0
+        while i < L:
+            rw = min(RW, L - i)
+            ms = []
+            r = acc_ref[i : i + 1]
+            for j in range(rw):
+                mj = ((r & mask) * n0) & mask
+                ms.append(mj)
+                if j + 1 < rw:
+                    c = (r + mj * q_col[0:1]) >> w
+                    r = acc_ref[i + j + 1 : i + j + 2] + c
+                    for k in range(j + 1):
+                        r = r + ms[k] * q_col[j + 1 - k : j + 2 - k]
+            if rw == RW:
+                s = ms[0] * q_ext[0]
+                for j in range(1, rw):
+                    s = s + ms[j] * q_ext[j]
+                acc_ref[i : i + L + RW - 1] += s
+            else:  # tail pass (L % RW != 0): narrower extension
+                s = jnp.concatenate(
+                    [ms[0] * qb] + [zrow] * (rw - 1), axis=0
+                )
+                for j in range(1, rw):
+                    s = s + jnp.concatenate(
+                        [zrow] * j + [ms[j] * qb] + [zrow] * (rw - 1 - j),
+                        axis=0,
+                    )
+                acc_ref[i : i + L + rw - 1] += s
+            for j in range(rw):  # push the resolved low rows' carries up
+                acc_ref[i + j + 1 : i + j + 2] += (
+                    acc_ref[i + j : i + j + 1] >> w
+                )
+            i += rw
         # result = rows L..2L (the /R shift); fold the top overflow row
         out = acc_ref[L : 2 * L]
         out = jnp.concatenate(

@@ -154,3 +154,95 @@ def make_row_offsets(
         )
 
     return row_offsets
+
+
+@functools.lru_cache(maxsize=None)
+def make_point_total(
+    cfg: MsmConfig,
+    N: int,
+    lanes: int = DEFAULT_LANES,
+    interpret: bool = False,
+):
+    """Build a fused point-sum reduction: three [N, L] coordinate arrays
+    (Montgomery projective, balanced) -> three [L, 128] arrays whose every
+    lane holds sum_i in[i].
+
+    Used by the telescoped bucket reduction (see scan.window_sum_from_pe):
+    a serial VMEM pass over N/lanes chunk steps + a circular-roll all-reduce
+    ladder — one dispatch for what the Hillis tree does in ~2*log2(N)."""
+    B2 = min(lanes, N)
+    assert N % B2 == 0 and B2 % 128 == 0, (N, B2)
+    C2 = N // B2
+    L = cfg.num_words
+    nlev = (B2 - 1).bit_length()
+    b3 = (3 * cfg.curve.b * cfg.r) % cfg.curve.modulus
+    b3m_np = int_to_limbs(b3, cfg.word_size, L).astype(np.int32)[:, None]
+    q_np = int_to_limbs(cfg.curve.modulus, cfg.word_size, L).astype(np.int32)[
+        :, None
+    ]
+    rm_np = int_to_limbs(cfg.r, cfg.word_size, L).astype(np.int32)[:, None]
+    add_points = _rcb16_add(cfg)
+
+    def kernel(q, b3m, rm, ix, iy, iz, ox, oy, oz, ax, ay, az, mont_acc):
+        zero = jnp.zeros((L, B2), jnp.int32)
+        ax[:], ay[:], az[:] = zero, rm[:] + zero, zero
+
+        def add(p, s):
+            return add_points(q[:], b3m[:], mont_acc, *p, *s)
+
+        def tot_body(c, _):
+            s = (
+                ix[:, pl.ds(c, 1), :][:, 0, :],
+                iy[:, pl.ds(c, 1), :][:, 0, :],
+                iz[:, pl.ds(c, 1), :][:, 0, :],
+            )
+            ax[:], ay[:], az[:] = add((ax[:], ay[:], az[:]), s)
+            return 0
+
+        jax.lax.fori_loop(0, C2, tot_body, 0)
+
+        # circular all-reduce: after log2(B2) rotate-add levels every lane
+        # holds the full sum (rotation is exact, no identity masking needed)
+        def lev_body(j, _):
+            k = jnp.int32(1) << j
+            cur = (ax[:], ay[:], az[:])
+            rot = tuple(pltpu.roll(t, k, 1) for t in cur)
+            ax[:], ay[:], az[:] = add(cur, rot)
+            return 0
+
+        jax.lax.fori_loop(0, nlev, lev_body, 0)
+        ox[:] = ax[:, :128]
+        oy[:] = ay[:, :128]
+        oz[:] = az[:, :128]
+
+    def point_total(px, py, pz):
+        assert px.shape == (N, L), (px.shape, (N, L))
+
+        def prep(a):  # [N, L] -> [L, C2, B2] (sum is order-free)
+            return a.T.reshape(L, C2, B2)
+
+        spec = pl.BlockSpec(
+            (L, C2, B2), lambda: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        ospec = pl.BlockSpec((L, 128), lambda: (0, 0), memory_space=pltpu.VMEM)
+        cspec = pl.BlockSpec((L, 1), lambda: (0, 0), memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((L, 128), jnp.int32)
+        return pl.pallas_call(
+            kernel,
+            grid=(),
+            in_specs=[cspec, cspec, cspec] + [spec] * 3,
+            out_specs=(ospec,) * 3,
+            out_shape=(out_shape,) * 3,
+            scratch_shapes=[pltpu.VMEM((L, B2), jnp.int32)] * 3
+            + [pltpu.VMEM((2 * L + 1, B2), jnp.int32)],
+            interpret=interpret,
+        )(
+            jnp.asarray(q_np),
+            jnp.asarray(b3m_np),
+            jnp.asarray(rm_np),
+            prep(px),
+            prep(py),
+            prep(pz),
+        )
+
+    return point_total

@@ -53,14 +53,15 @@ def _timeit(fn, *args, reps: int = 3) -> float:
 def stage_timings(n: int, cfg, seed: int = 0) -> dict:
     """Per-stage timings of the cuZK pipeline at size n (one subtask for the
     per-subtask stages, scaled in the report)."""
+    import jax
     import jax.numpy as jnp
 
     from msm_tpu.models import common
     from msm_tpu.models.cuzk import cuzk_window_sums
     from msm_tpu.models.geometry import pick_geometry
-    from msm_tpu.ops.curve import get_curve_ctx
+    from msm_tpu.ops.curve import get_curve_ctx, PointBatch
     from msm_tpu.ops.decompose import decompose_signed
-    from msm_tpu.ops.scan import bucket_accumulate, bucket_reduce_blocked
+    from msm_tpu.ops.scan import bucket_boundary_prefix, window_sum_from_pe
     from msm_tpu.oracle.pyecc import Curve
 
     ec = get_curve_ctx(cfg)
@@ -77,8 +78,7 @@ def stage_timings(n: int, cfg, seed: int = 0) -> dict:
     geom = pick_geometry(x.shape[0], cfg.chunk_size)
     xd, yd, sd = jnp.asarray(x), jnp.asarray(y), jnp.asarray(s)
 
-    pts = common.u16_to_mont_points(ec, xd, yd)
-    packed = common.pack_points(pts)
+    pts, packed = common.prepare_points(ec, xd, yd, geom.num_rows)
     keys, signs = decompose_signed(sd, cfg.chunk_size, cfg.num_subtasks)
     k0, s0 = keys[0], signs[0]
 
@@ -93,25 +93,30 @@ def stage_timings(n: int, cfg, seed: int = 0) -> dict:
         "stages_ms": {},
     }
     t = report["stages_ms"]
-    t["convert_points"] = 1e3 * _timeit(
-        lambda a, b: common.u16_to_mont_points(ec, a, b), xd, yd
-    )
+    def _prep(a, b):
+        p, pk = common.prepare_points(ec, a, b, geom.num_rows)
+        return pk if p is None else p
+
+    t["convert_points"] = 1e3 * _timeit(_prep, xd, yd)
     t["decompose_scalars"] = 1e3 * _timeit(
         lambda a: decompose_signed(a, cfg.chunk_size, cfg.num_subtasks), sd
     )
-    t["bucket_accumulate_per_subtask"] = 1e3 * _timeit(
-        lambda p, k, sg, pk: bucket_accumulate(
-            ec, p, k, cfg.num_buckets, geom.num_rows, signs=sg, affine=True,
+    t["boundary_prefix_per_subtask"] = 1e3 * _timeit(
+        lambda k, sg, pk: bucket_boundary_prefix(
+            ec, pts, k, cfg.num_buckets, geom.num_rows, signs=sg, affine=True,
             packed=pk,
         ),
-        pts, k0, s0, packed,
+        k0, s0, packed,
     )
-    buckets = bucket_accumulate(
+    pe = bucket_boundary_prefix(
         ec, pts, k0, cfg.num_buckets, geom.num_rows, signs=s0, affine=True,
         packed=packed,
     )
-    t["bucket_reduce_per_subtask"] = 1e3 * _timeit(
-        lambda b: bucket_reduce_blocked(ec, b, geom.bpr_threads), buckets
+    pe16 = PointBatch(
+        *(jnp.broadcast_to(a[None], (16,) + a.shape) for a in pe)
+    )
+    t["window_sum_x16_batched"] = 1e3 * _timeit(
+        lambda b: jax.vmap(lambda p: window_sum_from_pe(ec, p))(b), pe16
     )
     t["full_pipeline"] = 1e3 * _timeit(
         lambda a, b, c: cuzk_window_sums(a, b, c, cfg, geom), xd, yd, sd

@@ -79,6 +79,61 @@ def test_row_offsets_kernel_matches_xla():
     assert bool(jnp.all(ec.eq(want, got)))
 
 
+def test_point_total_kernel_matches_tree_reduce():
+    """Fused point-sum reduction kernel (interpret) vs tree_reduce_points."""
+    from msm_tpu.ops.pallas_prefix import make_point_total
+    from msm_tpu.ops.scan import tree_reduce_points
+
+    ec = get_curve_ctx(CFG)
+    cv = Curve(CFG.curve)
+    N = 512
+    pts_j = cv.sample_points(64, seed=13)
+    aff = [cv.to_affine(p) for p in pts_j]
+    pts_a = [aff[i % 64] for i in range(N)]
+    x_u16, y_u16, _ = common.pad_inputs(pts_a, [0] * N, CFG)
+    pts = common.u16_to_mont_points(
+        ec, jnp.asarray(x_u16)[:N], jnp.asarray(y_u16)[:N]
+    )
+    want = tree_reduce_points(ec, pts)
+    tx, ty, tz = make_point_total(CFG, N, lanes=256, interpret=True)(
+        pts.x, pts.y, pts.z
+    )
+    got = PointBatch(tx[:, 0], ty[:, 0], tz[:, 0])
+    assert bool(jnp.all(ec.eq(want, got)))
+
+
+def test_window_sum_telescoping_matches_bpr():
+    """The telescoped reduction (window_sum_from_pe) must equal the
+    reference-shaped running-sum BPR on a real boundary-prefix structure."""
+    from msm_tpu.ops.scan import (
+        bucket_reduce_running,
+        hillis_steele_prefix,
+        window_sum_from_pe,
+    )
+
+    ec = get_curve_ctx(CFG)
+    cv = Curve(CFG.curve)
+    NB = 257
+    pts_j = cv.sample_points(64, seed=9)
+    aff = [cv.to_affine(p) for p in pts_j]
+    pts_a = [aff[i % 64] for i in range(NB)]
+    x_u16, y_u16, _ = common.pad_inputs(pts_a, [0] * NB, CFG)
+    pts = common.u16_to_mont_points(
+        ec, jnp.asarray(x_u16)[:NB], jnp.asarray(y_u16)[:NB]
+    )
+    pe = hillis_steele_prefix(ec, pts)
+    ident1 = ec.identity((1,))
+    prev = PointBatch(
+        jnp.concatenate([ident1.x, pe.x[:-1]]),
+        jnp.concatenate([ident1.y, pe.y[:-1]]),
+        jnp.concatenate([ident1.z, pe.z[:-1]]),
+    )
+    buckets = ec.add(pe, ec.neg(prev))
+    want = bucket_reduce_running(ec, buckets)
+    got = window_sum_from_pe(ec, pe)
+    assert bool(jnp.all(ec.eq(want, got)))
+
+
 def test_pack_roundtrip():
     rng = np.random.default_rng(1)
     x = jnp.asarray(
