@@ -40,8 +40,8 @@ def pick_geometry(n: int, chunk_size: int) -> MsmGeometry:
     body = 1 << (chunk_size - 1)
     bpr_threads = max(1, min(body // 16, 1 << 9))
     # measured on v5e (fused kernels, batched bucket reduction): 4 concurrent
-    # subtasks win through 2^20 (bs1=887ms bs2=864 bs4=820; bs8 OOMs). The
-    # HBM governor: row_prefix is ~1536n bytes/subtask in the lane-padded
-    # [.., L] layout, so beyond 2^20 the batch must shrink to fit ~16 GB.
-    subtask_batch = 4 if n <= (1 << 20) else 1
+    # subtasks win at every size (2^20: bs1=887ms bs4=820; 2^22: bs1=3643ms
+    # bs4=3172 — fits since the copy-free [C, L, R] layout removed the 6.4x
+    # lane padding from row_prefix). HBM governor: ~240n bytes/subtask.
+    subtask_batch = 4
     return MsmGeometry(num_rows, bpr_threads, subtask_batch)

@@ -31,7 +31,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from msm_tpu.ops.pallas_curve import _rcb16_add
+from msm_tpu.ops.pallas_curve import _rcb16_add, aux_b3_limbs
 from msm_tpu.params import MsmConfig
 from msm_tpu.utils.limbs import int_to_limbs
 
@@ -53,8 +53,7 @@ def make_row_offsets(
     C2 = R // B2
     L = cfg.num_words
     nlev = (B2 - 1).bit_length()
-    b3 = (3 * cfg.curve.b * cfg.r) % cfg.curve.modulus
-    b3m_np = int_to_limbs(b3, cfg.word_size, L).astype(np.int32)[:, None]
+    aux_np = aux_b3_limbs(cfg)
     q_np = int_to_limbs(cfg.curve.modulus, cfg.word_size, L).astype(np.int32)[
         :, None
     ]
@@ -142,7 +141,7 @@ def make_row_offsets(
             interpret=interpret,
         )(
             jnp.asarray(q_np),
-            jnp.asarray(b3m_np),
+            jnp.asarray(aux_np),
             jnp.asarray(rm_np),
             prep(tx),
             prep(ty),
@@ -175,8 +174,7 @@ def make_point_total(
     C2 = N // B2
     L = cfg.num_words
     nlev = (B2 - 1).bit_length()
-    b3 = (3 * cfg.curve.b * cfg.r) % cfg.curve.modulus
-    b3m_np = int_to_limbs(b3, cfg.word_size, L).astype(np.int32)[:, None]
+    aux_np = aux_b3_limbs(cfg)
     q_np = int_to_limbs(cfg.curve.modulus, cfg.word_size, L).astype(np.int32)[
         :, None
     ]
@@ -184,52 +182,55 @@ def make_point_total(
     add_points = _rcb16_add(cfg)
 
     def kernel(q, b3m, rm, ix, iy, iz, ox, oy, oz, ax, ay, az, mont_acc):
-        zero = jnp.zeros((L, B2), jnp.int32)
-        ax[:], ay[:], az[:] = zero, rm[:] + zero, zero
+        c = pl.program_id(0)
 
         def add(p, s):
             return add_points(q[:], b3m[:], mont_acc, *p, *s)
 
-        def tot_body(c, _):
-            s = (
-                ix[:, pl.ds(c, 1), :][:, 0, :],
-                iy[:, pl.ds(c, 1), :][:, 0, :],
-                iz[:, pl.ds(c, 1), :][:, 0, :],
-            )
-            ax[:], ay[:], az[:] = add((ax[:], ay[:], az[:]), s)
-            return 0
+        @pl.when(c == 0)
+        def _():
+            zero = jnp.zeros((L, B2), jnp.int32)
+            ax[:], ay[:], az[:] = zero, rm[:] + zero, zero
 
-        jax.lax.fori_loop(0, C2, tot_body, 0)
+        ax[:], ay[:], az[:] = add(
+            (ax[:], ay[:], az[:]), (ix[0], iy[0], iz[0])
+        )
 
-        # circular all-reduce: after log2(B2) rotate-add levels every lane
-        # holds the full sum (rotation is exact, no identity masking needed)
-        def lev_body(j, _):
-            k = jnp.int32(1) << j
-            cur = (ax[:], ay[:], az[:])
-            rot = tuple(pltpu.roll(t, k, 1) for t in cur)
-            ax[:], ay[:], az[:] = add(cur, rot)
-            return 0
+        @pl.when(c == C2 - 1)
+        def _():
+            # circular all-reduce: after log2(B2) rotate-add levels every
+            # lane holds the full sum (rotation is exact, no masking)
+            def lev_body(j, _):
+                k = jnp.int32(1) << j
+                cur = (ax[:], ay[:], az[:])
+                rot = tuple(pltpu.roll(t, k, 1) for t in cur)
+                ax[:], ay[:], az[:] = add(cur, rot)
+                return 0
 
-        jax.lax.fori_loop(0, nlev, lev_body, 0)
-        ox[:] = ax[:, :128]
-        oy[:] = ay[:, :128]
-        oz[:] = az[:, :128]
+            jax.lax.fori_loop(0, nlev, lev_body, 0)
+            ox[:] = ax[:, :128]
+            oy[:] = ay[:, :128]
+            oz[:] = az[:, :128]
 
     def point_total(px, py, pz):
         assert px.shape == (N, L), (px.shape, (N, L))
 
-        def prep(a):  # [N, L] -> [L, C2, B2] (sum is order-free)
-            return a.T.reshape(L, C2, B2)
+        def prep(a):  # [N, L] -> [C2, L, B2] (sum is order-free)
+            return a.reshape(C2, B2, L).swapaxes(1, 2)
 
+        # grid streams one [1, L, B2] chunk per step (whole-array blocks
+        # overflow the 16 MB VMEM stack at N=32768 under vmap)
         spec = pl.BlockSpec(
-            (L, C2, B2), lambda: (0, 0, 0), memory_space=pltpu.VMEM
+            (1, L, B2), lambda c: (c, 0, 0), memory_space=pltpu.VMEM
         )
-        ospec = pl.BlockSpec((L, 128), lambda: (0, 0), memory_space=pltpu.VMEM)
-        cspec = pl.BlockSpec((L, 1), lambda: (0, 0), memory_space=pltpu.VMEM)
+        ospec = pl.BlockSpec(
+            (L, 128), lambda c: (0, 0), memory_space=pltpu.VMEM
+        )
+        cspec = pl.BlockSpec((L, 1), lambda c: (0, 0), memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((L, 128), jnp.int32)
         return pl.pallas_call(
             kernel,
-            grid=(),
+            grid=(C2,),
             in_specs=[cspec, cspec, cspec] + [spec] * 3,
             out_specs=(ospec,) * 3,
             out_shape=(out_shape,) * 3,
@@ -238,7 +239,7 @@ def make_point_total(
             interpret=interpret,
         )(
             jnp.asarray(q_np),
-            jnp.asarray(b3m_np),
+            jnp.asarray(aux_np),
             jnp.asarray(rm_np),
             prep(px),
             prep(py),

@@ -282,6 +282,15 @@ def _counts_leq(keys: jax.Array, num_buckets: int) -> jax.Array:
         return jnp.sum(
             (keys[None, :] <= q[:, None]).astype(jnp.int32), axis=1
         )
+    from msm_tpu.ops.curve import _pallas_enabled
+    from msm_tpu.ops.pallas_hist import CHUNK, make_bucket_hist
+
+    if _pallas_enabled() and n % CHUNK == 0:
+        # in-kernel one-hots + MXU dot: keys in, 132 KB histogram out —
+        # the jnp-level formulations either fall off the MXU (operand-
+        # fused, ~26 ms/4x2^20) or pay ~45 ms of one-hot HBM writes
+        counts = make_bucket_hist(n, num_buckets)(keys)[:num_buckets]
+        return jnp.cumsum(counts)
     H = (num_buckets + 255) // 256  # hi cells
     hi = (keys >> 8).astype(jnp.int32)
     lo = (keys & 255).astype(jnp.int32)

@@ -224,6 +224,17 @@ class MsmConfig:
         return gen_mu(self.curve.modulus, self.curve.modulus_bits)
 
     @property
+    def small_b3(self) -> int | None:
+        """3b as a plain small integer when it fits comfortably in the limb
+        budget (all shipped curves qualify: BN254 3b=9, BLS12-377 3b=3,
+        Pasta 3b=15). Multiplying a Montgomery-form value by a plain small
+        integer stays in Montgomery form (k * xR = (kx)R), so the kernels
+        replace the two mont_muls-by-mont(3b) per point add with one
+        VPU multiply + carry sweep each."""
+        b3 = 3 * self.curve.b
+        return b3 if b3 * ((1 << self.word_size) + 64) < (1 << 31) // 4 else None
+
+    @property
     def slack(self) -> int:
         """Bits of headroom between num_words*word_size and the first power
         of two above p (used by Barrett's high-bits extraction; reference

@@ -82,3 +82,16 @@ def test_cuzk_msm_4096():
     got = compute_msm_jpoint(pts, ks)
     want = CV.msm([CV.from_affine(*p) for p in pts], ks)
     assert CV.eq(got, want)
+
+
+def test_cuzk_msm_sliced_path(monkeypatch):
+    """The n > SLICE slice-and-merge branch (production trigger: n > 2^20,
+    where the packed table outgrows VMEM residency) — exercised at CPU
+    scale by shrinking SLICE so a 1024-point MSM runs as 4 slices."""
+    import msm_tpu.models.cuzk as cuzk_mod
+
+    monkeypatch.setattr(cuzk_mod, "SLICE", 256)
+    pts, ks = _fixture(1024, seed=9)
+    got = compute_msm_jpoint(pts, ks)
+    want = CV.msm([CV.from_affine(*p) for p in pts], ks)
+    assert CV.eq(got, want)
