@@ -138,12 +138,10 @@ def export_points_std(ec: CurveCtx, pts: PointBatch) -> jax.Array:
     )
 
 
-def window_sums_to_result(
+def window_sums_to_jpoints(
     window_sums_std: np.ndarray, cfg: MsmConfig
-) -> JPoint:
-    """Host finalization: Horner over the per-subtask window sums in exact
-    python-int arithmetic (msm.rs:409-416). Input [S, 3, L] standard-form
-    limbs of homogeneous projective points."""
+) -> list[JPoint]:
+    """[S, 3, L] standard-form homogeneous limb triples -> oracle JPoints."""
     cv = Curve(cfg.curve)
     p = cfg.curve.modulus
     ws = []
@@ -157,12 +155,29 @@ def window_sums_to_result(
         else:
             zi = pow(z, -1, p)  # homogeneous: affine = (x/z, y/z)
             ws.append(cv.from_affine(x * zi % p, y * zi % p))
+    return ws
+
+
+def horner_window_sums(ws: list[JPoint], cfg: MsmConfig) -> JPoint:
+    """Horner over per-subtask window sums (msm.rs:409-416), exact ints."""
+    cv = Curve(cfg.curve)
     acc = ws[-1]
     for wpt in reversed(ws[:-1]):
         for _ in range(cfg.chunk_size):
             acc = cv.double(acc)
         acc = cv.add(acc, wpt)
     return acc
+
+
+def window_sums_to_result(
+    window_sums_std: np.ndarray, cfg: MsmConfig
+) -> JPoint:
+    """Host finalization: Horner over the per-subtask window sums in exact
+    python-int arithmetic (msm.rs:409-416). Input [S, 3, L] standard-form
+    limbs of homogeneous projective points."""
+    return horner_window_sums(
+        window_sums_to_jpoints(window_sums_std, cfg), cfg
+    )
 
 
 def result_to_affine(res: JPoint, cfg: MsmConfig):

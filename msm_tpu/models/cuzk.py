@@ -159,8 +159,31 @@ def compute_msm_jpoint(
         return IDENTITY
     x_u16, y_u16, s_u16 = common.pad_inputs(points, scalars, config)
     n = x_u16.shape[0]
-    geom = geometry or pick_geometry(n, config.chunk_size)
-    ws = cuzk_window_sums(
-        jnp.asarray(x_u16), jnp.asarray(y_u16), jnp.asarray(s_u16), config, geom
-    )
-    return common.window_sums_to_result(np.asarray(ws), config)
+    # device program cap: above 2^22 the [n, 16] u16 inputs' lane-padded
+    # HBM residency (512 B/point/array) outgrows the chip, so the MSM runs
+    # as host-level chunks whose window sums merge with ~16 exact point
+    # adds each (window sums are linear in the points)
+    CHUNK_MAX = 1 << 22
+    if n <= CHUNK_MAX:
+        geom = geometry or pick_geometry(n, config.chunk_size)
+        ws = cuzk_window_sums(
+            jnp.asarray(x_u16), jnp.asarray(y_u16), jnp.asarray(s_u16),
+            config, geom,
+        )
+        return common.window_sums_to_result(np.asarray(ws), config)
+    from msm_tpu.oracle.pyecc import Curve
+
+    cv = Curve(config.curve)
+    geom = geometry or pick_geometry(CHUNK_MAX, config.chunk_size)
+    acc: list | None = None
+    for lo in range(0, n, CHUNK_MAX):
+        ws = cuzk_window_sums(
+            jnp.asarray(x_u16[lo : lo + CHUNK_MAX]),
+            jnp.asarray(y_u16[lo : lo + CHUNK_MAX]),
+            jnp.asarray(s_u16[lo : lo + CHUNK_MAX]),
+            config,
+            geom,
+        )
+        wj = common.window_sums_to_jpoints(np.asarray(ws), config)
+        acc = wj if acc is None else [cv.add(a, b) for a, b in zip(acc, wj)]
+    return common.horner_window_sums(acc, config)

@@ -24,7 +24,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from msm_tpu.ops.pallas_curve import _rcb16_add
+from msm_tpu.ops.pallas_curve import _rcb16_add, aux_b3_limbs
 from msm_tpu.params import MsmConfig
 from msm_tpu.utils.limbs import int_to_limbs
 
@@ -47,8 +47,7 @@ def make_bpr_phase1(
     """
     tile = min(tile, T)
     L = cfg.num_words
-    b3 = (3 * cfg.curve.b * cfg.r) % cfg.curve.modulus
-    b3m_np = int_to_limbs(b3, cfg.word_size, L).astype(np.int32)[:, None]
+    aux_np = aux_b3_limbs(cfg)
     q_np = int_to_limbs(cfg.curve.modulus, cfg.word_size, L).astype(np.int32)[
         :, None
     ]
@@ -102,7 +101,7 @@ def make_bpr_phase1(
                 pltpu.VMEM((2 * L + 1, tile), jnp.int32)
             ],
             interpret=interpret,
-        )(jnp.asarray(q_np), jnp.asarray(b3m_np), jnp.asarray(rm_np), bx, by, bz)
+        )(jnp.asarray(q_np), jnp.asarray(aux_np), jnp.asarray(rm_np), bx, by, bz)
         m = tuple(o[0] for o in outs[:3])
         g = tuple(o[0] for o in outs[3:])
         return m, g

@@ -66,12 +66,21 @@ def _sweep_cols(x: jax.Array, w: int, mask: int) -> jax.Array:
     return jnp.concatenate([out[:-1], top], axis=0)
 
 
-def _make_field_ops(cfg: MsmConfig, q_col: jax.Array, acc_ref):
+def _make_field_ops(
+    cfg: MsmConfig, q_col: jax.Array, acc_ref, dirty_mul_out: bool = False
+):
     """Limbs-first field ops on [L, T] int32 values.
 
     ``q_col``: modulus limbs [L, 1] (traced input — Pallas kernels cannot
     capture array constants). ``acc_ref``: [2L+1, T] VMEM scratch reused by
     every Montgomery multiply in the kernel.
+
+    ``dirty_mul_out``: skip mont_mul's second output sweep, leaving limbs
+    bounded by ~2^(w+4.6) instead of ~2^w. Safe ONLY when every mul result
+    passes through f_add/f_sub (which re-normalize) before feeding another
+    multiply — true of the RCB16 add/madd dataflow whenever mul_b3 takes
+    the small-b3 path (every shipped curve); NOT safe for kernels that
+    store mul results raw (the convert kernel 16-bit-packs them).
     """
     w, L, mask = cfg.word_size, cfg.num_words, cfg.mask
     n0 = np.int32(cfg.n0)
@@ -174,21 +183,61 @@ def _make_field_ops(cfg: MsmConfig, q_col: jax.Array, acc_ref):
             [out[: L - 1], out[L - 1 :] + (acc_ref[2 * L : 2 * L + 1] << w)],
             axis=0,
         )
+        if dirty_mul_out:
+            return sweep(out)
         return sweep(sweep(out))
 
     return add, sub, mont_mul, add_raw
 
 
+def aux_b3_limbs(cfg: MsmConfig):
+    """The [L, 1] constant column every add/madd kernel takes alongside the
+    modulus: R mod p when the small-b3 fast path is active (used to fold the
+    top-limb excess of the plain-integer 3b multiply), else mont(3b) (the
+    Montgomery multiplier)."""
+    v = cfg.r if cfg.small_b3 is not None else (
+        3 * cfg.curve.b * cfg.r
+    ) % cfg.curve.modulus
+    return int_to_limbs(v, cfg.word_size, cfg.num_words).astype(np.int32)[
+        :, None
+    ]
+
+
+def _make_mul_b3(cfg: MsmConfig, aux_col, f_mul):
+    """Multiply a Montgomery-form [L, T] value by 3b.
+
+    Small-b3 curves (every shipped one: BN254 3b=9, BLS12-377 3, Pasta 15):
+    k * (xR) = (kx)R, so a plain VPU integer multiply + sweep suffices —
+    ~10L row-ops instead of a ~2300-op mont_mul. The sweep leaves the 9x
+    top-limb excess e in place (there is no limb above), which would let
+    two such results overflow an int32 product column when multiplied
+    together; fold it back with e*2^(w*L) == e*(R mod p) (aux_col = R mod p
+    limbs), restoring a <= 2^(w+1) top limb. Otherwise aux_col = mont(3b)
+    and this is a plain mont_mul."""
+    w, L, mask = cfg.word_size, cfg.num_words, cfg.mask
+    if cfg.small_b3 is None:
+        return lambda t: f_mul(t, aux_col + jnp.zeros_like(t))
+    k = np.int32(cfg.small_b3)
+
+    def mul_b3(t):
+        s = _sweep_cols(t * k, w, mask)
+        e = s[L - 1 :] >> w  # top-limb excess, |e| <= 3b
+        out = jnp.concatenate([s[: L - 1], s[L - 1 :] - (e << w)], axis=0)
+        return _sweep_cols(out + e * aux_col, w, mask)
+
+    return mul_b3
+
+
 def _rcb16_add(cfg: MsmConfig):
     """Complete projective addition (RCB16 Algorithm 7, a=0) on limbs-first
     [L, T] coordinate arrays — same formula sequence as CurveCtx.add.
-    ``q_col``/``b3m_col`` arrive as [L, 1] traced inputs."""
+    ``q_col``/``aux_col`` arrive as [L, 1] traced inputs (aux_b3_limbs)."""
 
-    def add_points(q_col, b3m_col, acc_ref, x1, y1, z1, x2, y2, z2):
-        f_add, f_sub, f_mul, f_add_raw = _make_field_ops(cfg, q_col, acc_ref)
-
-        def mul_b3(t):
-            return f_mul(t, b3m_col + jnp.zeros_like(t))
+    def add_points(q_col, aux_col, acc_ref, x1, y1, z1, x2, y2, z2):
+        f_add, f_sub, f_mul, f_add_raw = _make_field_ops(
+            cfg, q_col, acc_ref, dirty_mul_out=cfg.small_b3 is not None
+        )
+        mul_b3 = _make_mul_b3(cfg, aux_col, f_mul)
 
         t0 = f_mul(x1, x2)
         t1 = f_mul(y1, y2)
@@ -222,16 +271,15 @@ def make_point_add(
     integration lives in ops/curve.py to avoid a circular import).
     """
     L = cfg.num_words
-    b3 = (3 * cfg.curve.b * cfg.r) % cfg.curve.modulus
-    b3m_np = int_to_limbs(b3, cfg.word_size, L).astype(np.int32)[:, None]
+    aux_np = aux_b3_limbs(cfg)
     q_np = int_to_limbs(cfg.curve.modulus, cfg.word_size, L).astype(np.int32)[
         :, None
     ]
     add_points = _rcb16_add(cfg)
 
-    def kernel(q, b3m, ax, ay, az, bx, by, bz, ox, oy, oz, acc_ref):
+    def kernel(q, aux, ax, ay, az, bx, by, bz, ox, oy, oz, acc_ref):
         ins = [r[:].T for r in (ax, ay, az, bx, by, bz)]  # [L, tile]
-        x3, y3, z3 = add_points(q[:], b3m[:], acc_ref, *ins)
+        x3, y3, z3 = add_points(q[:], aux[:], acc_ref, *ins)
         ox[:] = x3.T
         oy[:] = y3.T
         oz[:] = z3.T
@@ -251,6 +299,6 @@ def make_point_add(
             out_shape=(out_shape, out_shape, out_shape),
             scratch_shapes=[pltpu.VMEM((2 * L + 1, tile), jnp.int32)],
             interpret=interpret,
-        )(jnp.asarray(q_np), jnp.asarray(b3m_np), ax, ay, az, bx, by, bz)
+        )(jnp.asarray(q_np), jnp.asarray(aux_np), ax, ay, az, bx, by, bz)
 
     return point_add

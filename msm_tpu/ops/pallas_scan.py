@@ -39,7 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from msm_tpu.ops.pallas_curve import _make_field_ops
+from msm_tpu.ops.pallas_curve import _make_field_ops, _make_mul_b3, aux_b3_limbs
 from msm_tpu.params import MsmConfig
 from msm_tpu.utils.limbs import int_to_limbs
 
@@ -76,10 +76,11 @@ def _rcb16_madd(cfg: MsmConfig):
     [L, T] arrays. Returns (x3, y3, z3)."""
 
     def madd(q_col, b3m_col, acc_ref, x1, y1, z1, x2, y2):
-        f_add, f_sub, f_mul, f_add_raw = _make_field_ops(cfg, q_col, acc_ref)
+        f_add, f_sub, f_mul, f_add_raw = _make_field_ops(
+            cfg, q_col, acc_ref, dirty_mul_out=cfg.small_b3 is not None
+        )
 
-        def mul_b3(t):
-            return f_mul(t, b3m_col + jnp.zeros_like(t))
+        mul_b3 = _make_mul_b3(cfg, b3m_col, f_mul)
 
         t0 = f_mul(x1, x2)
         t1 = f_mul(y1, y2)
@@ -119,8 +120,7 @@ def make_scan_rows(
     tile = min(tile, R)  # small geometries: one tile spans all lanes
     L = cfg.num_words
     P = packed_width(L)
-    b3 = (3 * cfg.curve.b * cfg.r) % cfg.curve.modulus
-    b3m_np = int_to_limbs(b3, cfg.word_size, L).astype(np.int32)[:, None]
+    aux_np = aux_b3_limbs(cfg)
     q_np = int_to_limbs(cfg.curve.modulus, cfg.word_size, L).astype(np.int32)[
         :, None
     ]
@@ -189,7 +189,7 @@ def make_scan_rows(
             interpret=interpret,
         )(
             jnp.asarray(q_np),
-            jnp.asarray(b3m_np),
+            jnp.asarray(aux_np),
             jnp.asarray(rm_np),
             pxy,
             signs,
