@@ -79,6 +79,9 @@ def make_bpr_phase1(
 
     def bpr_phase1(bx, by, bz):
         assert bx.shape == (Bl, T, L), (bx.shape, (Bl, T, L))
+        # lanes beyond the last full tile would silently never run (the
+        # grid floor-divides) — reject ragged thread counts outright
+        assert T % tile == 0, (T, tile)
         grid = (T // tile, Bl)
         # descending over the block: grid step b reads input step Bl-1-b
         inspec = pl.BlockSpec(

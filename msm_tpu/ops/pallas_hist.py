@@ -35,6 +35,11 @@ def make_bucket_hist(
     counts [H*256] int32 (H = ceil(num_buckets/256) rounded up to a
     multiple of 8 rows; entries >= num_buckets are zero)."""
     assert n % chunk == 0, (n, chunk)
+    # f32 MXU accumulation is exact only while every histogram cell stays
+    # below 2^24; bucket 0 can absorb ALL of n (padding/zero digits), so n
+    # itself must be bounded (callers above this fall back to the int32
+    # XLA formulation in ops/scan._counts_leq)
+    assert n < (1 << 24), f"n={n} >= 2^24 would overflow f32 MXU counts"
     H = (num_buckets + 255) // 256
     H8 = -(-H // 8) * 8
     C = n // chunk

@@ -26,13 +26,18 @@ def _load():
         return _LIB
     _LIB_TRIED = True
     path = _lib_path()
-    if not os.path.exists(path):
-        # try to build it (toolchain is available in the image)
+    src = os.path.join(os.path.dirname(path), "msm_oracle.cpp")
+    stale = os.path.exists(path) and os.path.exists(src) and (
+        os.path.getmtime(src) > os.path.getmtime(path)
+    )
+    if not os.path.exists(path) or stale:
+        # build (or rebuild after source edits — a stale .so must never
+        # silently win over msm_oracle.cpp changes)
         import subprocess
 
         try:
             subprocess.run(
-                ["make", "-s", "-C", os.path.dirname(path)],
+                ["make", "-s", "-B", "-C", os.path.dirname(path)],
                 check=True,
                 capture_output=True,
                 timeout=300,
