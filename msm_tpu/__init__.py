@@ -42,6 +42,7 @@ __all__ = [
     "run_tpu_msm_sharded",
     "sample_points",
     "sample_scalars",
+    "sample_32_bit_scalars",
     "scalars_to_bytes",
     "bytes_to_scalars",
     "points_to_bytes",
@@ -107,3 +108,13 @@ def sample_scalars(n: int, curve=BN254, seed: int = 1):
     from msm_tpu.oracle.pyecc import Curve
 
     return Curve(curve).sample_scalars(n, seed=seed)
+
+
+def sample_32_bit_scalars(n: int, seed: int = 1):
+    """Random scalars bounded below 2^32 (reference
+    ``sample_32_bit_scalars``, lib.rs:25-33) — small-scalar inputs are a
+    distinct edge-case class (all high windows hit bucket 0)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [int(v) for v in rng.integers(0, 1 << 32, size=n, dtype=np.uint64)]

@@ -44,7 +44,9 @@ def _sample_lib(n: int, curve, seed: int = 0):
 def cmd_msm(args) -> None:
     import msm_tpu
 
-    cfg = msm_tpu.MsmConfig(curve=msm_tpu.CURVES[args.curve])
+    cfg = msm_tpu.MsmConfig(
+        curve=msm_tpu.CURVES[args.curve], glv=getattr(args, "glv", False)
+    )
     n = 1 << args.size
     pts, ks = _sample_lib(n, cfg.curve, seed=args.seed)
     t0 = time.time()
@@ -79,7 +81,7 @@ def cmd_verify(args) -> None:
 
     curve = msm_tpu.CURVES[args.curve]
     cv = Curve(curve)
-    cfg = msm_tpu.MsmConfig(curve=curve)
+    cfg = msm_tpu.MsmConfig(curve=curve, glv=getattr(args, "glv", False))
     n = 1 << args.size
     pts, ks = _sample_lib(n, curve, seed=args.seed)
     got = msm_tpu.run_tpu_msm(pts, ks, config=cfg)
@@ -136,6 +138,9 @@ def main(argv=None) -> None:
         p.add_argument("--size", type=int, default=16, help="log2 input size")
         p.add_argument("--curve", default="bn254")
         p.add_argument("--seed", type=int, default=0)
+        if name in ("msm", "verify"):
+            p.add_argument("--glv", action="store_true",
+                           help="GLV endomorphism config (a=0 curves)")
         if name == "bench":
             p.add_argument("--verify", action="store_true")
         p.set_defaults(fn=fn)

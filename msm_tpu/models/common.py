@@ -98,16 +98,56 @@ def prepare_points(
     Fused path (TPU + kernel-compatible geometry): one Pallas kernel does
     word-extraction + to-Montgomery + 16-bit packing and the unpacked
     PointBatch never materializes (returns (None, packed)). Otherwise the
-    XLA conversion runs and packing is skipped (returns (pts, None))."""
+    XLA conversion runs and packing is skipped (returns (pts, None)).
+
+    GLV configs (cfg.glv) return the DOUBLED table [P_0..P_{n-1},
+    phi(P_0)..phi(P_{n-1})]: the phi half reruns the same convert kernel
+    with x-scale beta*R^2 (one multiply does endomorphism + Montgomery
+    conversion; ops/glv.py)."""
     from msm_tpu.ops.scan import fused_scan_available
 
+    cfg = ec.cfg
     n = x_u16.shape[0]
-    if fused_scan_available(n, num_rows):
+    glv_n = 2 * n if cfg.glv else n
+    if fused_scan_available(glv_n, num_rows) and n % min(1024, n) == 0:
         from msm_tpu.ops.pallas_convert import make_convert_pack
 
+        from msm_tpu.ops.curve import pallas_interpret
+
         tile = min(1024, n)
-        return None, make_convert_pack(ec.cfg, tile=tile)(x_u16, y_u16)
-    return u16_to_mont_points(ec, x_u16, y_u16), None
+        packed = make_convert_pack(
+            cfg, tile=tile, interpret=pallas_interpret()
+        )(x_u16, y_u16)
+        if not cfg.glv:
+            return None, packed
+        from msm_tpu.ops.glv import glv_params
+
+        beta_r2 = (glv_params(cfg.curve).beta * cfg.r2) % cfg.curve.modulus
+        phi = make_convert_pack(
+            cfg, tile=tile, interpret=pallas_interpret(),
+            x_scale_int=beta_r2,
+        )(x_u16, y_u16)
+        return None, jnp.concatenate([packed, phi], axis=0)
+    pts = u16_to_mont_points(ec, x_u16, y_u16)
+    if not cfg.glv:
+        return pts, None
+    from msm_tpu.ops.glv import glv_params
+    from msm_tpu.utils.limbs import int_to_limbs
+
+    mont_beta = (glv_params(cfg.curve).beta * cfg.r) % cfg.curve.modulus
+    bl = jnp.asarray(
+        int_to_limbs(mont_beta, cfg.word_size, cfg.num_words).astype(
+            np.int64
+        ),
+        jnp.int32,
+    )
+    phix = ec.f.mont_mul(pts.x, bl[None, :] + jnp.zeros_like(pts.x))
+    both = PointBatch(
+        jnp.concatenate([pts.x, phix], axis=0),
+        jnp.concatenate([pts.y, pts.y], axis=0),
+        jnp.concatenate([pts.z, pts.z], axis=0),
+    )
+    return both, None
 
 
 def u16_to_mont_points(

@@ -54,7 +54,18 @@ def _window_sums_mont(
     [S, 3, L] (stacked PointBatch coordinates)."""
     ec = get_curve_ctx(cfg)
     pts, packed = common.prepare_points(ec, x_u16, y_u16, geom.num_rows)
-    keys, signs = decompose_signed(s_u16, cfg.chunk_size, cfg.num_subtasks)
+    if cfg.glv:
+        # GLV: 2n points (P, phi(P)), half-length scalars -> half the
+        # subtasks; keys/signs columns n..2n-1 address the phi table half
+        from msm_tpu.ops.glv import decompose_signed_glv
+
+        keys, signs = decompose_signed_glv(
+            s_u16, cfg.chunk_size, cfg.num_subtasks, cfg
+        )
+    else:
+        keys, signs = decompose_signed(
+            s_u16, cfg.chunk_size, cfg.num_subtasks
+        )
 
     def subtask(args):
         k, s = args

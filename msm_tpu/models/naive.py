@@ -43,6 +43,7 @@ def naive_window_sums(
     geom: MsmGeometry,
 ) -> jax.Array:
     ec = get_curve_ctx(cfg)
+    assert not cfg.glv, "GLV runs the cuZK pipeline (models/cuzk.py)"
     pts, packed = common.prepare_points(ec, x_u16, y_u16, geom.num_rows)
     keys = extract_windows(s_u16, cfg.chunk_size, cfg.num_subtasks)  # [S, n]
     num_buckets = 1 << cfg.chunk_size

@@ -38,23 +38,35 @@ from msm_tpu.params import MsmConfig
 
 #: Pallas fused point-add dispatch: "auto" uses the kernel when tracing for
 #: TPU, "on"/"off" force it (tests use "off" on CPU, "on"+interpret for
-#: kernel-parity tests). The kernel output is a different-but-congruent
-#: balanced limb encoding, so value semantics are unchanged.
+#: kernel-parity tests), "interpret" forces it with EVERY kernel in
+#: interpreter mode — the CPU-runnable gate for the composed production
+#: pipeline (fused convert -> gather -> scan -> offsets -> telescoped
+#: reduction under lax.map batching), a known miscompile surface (see
+#: models/common.subtask_batch). The kernel output is a
+#: different-but-congruent balanced limb encoding, so value semantics are
+#: unchanged.
 _PALLAS_MODE = "auto"
 
 
 def set_pallas_mode(mode: str) -> None:
     global _PALLAS_MODE
-    assert mode in ("auto", "on", "off"), mode
+    assert mode in ("auto", "on", "off", "interpret"), mode
     _PALLAS_MODE = mode
 
 
 def _pallas_enabled() -> bool:
-    if _PALLAS_MODE == "on":
+    if _PALLAS_MODE in ("on", "interpret"):
         return True
     if _PALLAS_MODE == "off":
         return False
     return jax.default_backend() == "tpu"
+
+
+def pallas_interpret() -> bool:
+    """True when every Pallas call site must pass interpret=True (the
+    'interpret' mode above). Kernel factories take this as their
+    ``interpret`` argument so the whole pipeline runs on CPU."""
+    return _PALLAS_MODE == "interpret"
 
 
 class PointBatch(NamedTuple):
@@ -151,7 +163,9 @@ class CurveCtx:
                 )
             return a
 
-        kern = pallas_curve.make_point_add(self.cfg, tile=tile)
+        kern = pallas_curve.make_point_add(
+            self.cfg, tile=tile, interpret=pallas_interpret()
+        )
         ox, oy, oz = kern(
             prep(p.x), prep(p.y), prep(p.z), prep(q.x), prep(q.y), prep(q.z)
         )

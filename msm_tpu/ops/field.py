@@ -253,6 +253,70 @@ class FieldCtx:
         return self.canonical(self.from_mont(inv_m))
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def mont_mul_eager(cfg: MsmConfig, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Classic CIOS Montgomery product in uint32 lanes with EAGER (per-step)
+    carry normalization — the benchmarkable wide-word variant family.
+
+    Where the production ``FieldCtx.mont_mul`` relies on the lazy 13-bit
+    column budget (and ``check_overflow_budget`` rejects word_size >= 14),
+    this variant normalizes the accumulator after every MAC so single
+    products only need to fit uint32: it supports the reference's full
+    sweepable word-size range 13..16 (``src/cuzk/utils.rs:399-431``) and
+    plays the role of its classic-CIOS / nSafe-parameterized alternates
+    (``mont_pro_cios.template.wgsl:30-101``,
+    ``mont_pro_modified.template.wgsl:23-62``): a slower but
+    wider-geometry multiplier kept for benchmarking (utils.profiling.
+    mont_variant_bench sweeps it over word sizes).
+
+    Contract: canonical limbs in (each < 2^word_size, value < p),
+    canonical out. Budget (w <= 16): product (2^16-1)^2 + limb + carry
+    < 2^32 in uint32 lanes; the eager scan keeps every column < 2^w
+    between MACs.
+    """
+    w, L = cfg.word_size, cfg.num_words
+    assert w <= 16, "uint32 eager CIOS supports word_size <= 16"
+    umask = jnp.uint32(cfg.mask)
+    n0 = jnp.uint32(cfg.n0)
+    q = jnp.asarray(
+        int_to_limbs(cfg.curve.modulus, w, L).astype(np.int64), jnp.uint32
+    )
+    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    au = jnp.broadcast_to(a, batch + (L,)).astype(jnp.uint32)
+    bu = jnp.broadcast_to(b, batch + (L,)).astype(jnp.uint32)
+    xs = jnp.moveaxis(au, -1, 0)  # a-limbs, LSB first
+    acc0 = jnp.zeros(batch + (L + 2,), jnp.uint32)
+
+    def norm(acc):
+        xm = jnp.moveaxis(acc, -1, 0)
+
+        def stp(c, limb):
+            v = limb + c
+            return v >> w, v & umask
+
+        _, limbs = jax.lax.scan(stp, jnp.zeros_like(xm[0]), xm)
+        return jnp.moveaxis(limbs, 0, -1)
+
+    def step(acc, a_i):
+        acc = norm(acc.at[..., :L].add(a_i[..., None] * bu))
+        m = (acc[..., 0] * n0) & umask
+        acc = norm(acc.at[..., :L].add(m[..., None] * q))
+        # low limb is exactly 0 now; shift the window down one limb
+        return (
+            jnp.concatenate(
+                [acc[..., 1:], jnp.zeros_like(acc[..., :1])], axis=-1
+            ),
+            None,
+        )
+
+    acc, _ = jax.lax.scan(step, acc0, xs)
+    out = acc[..., :L].astype(jnp.int32)
+    # CIOS bound: out < 2p for canonical inputs — one conditional subtract
+    qi = jnp.asarray(int_to_limbs(cfg.curve.modulus, w, L).astype(np.int32))
+    d, borrow = bigint.sub(out, qi + jnp.zeros_like(out), w)
+    return jnp.where((borrow == 0)[..., None], d, out)
+
+
 @functools.lru_cache(maxsize=None)
 def get_field_ctx(cfg: MsmConfig) -> FieldCtx:
     return FieldCtx(cfg)

@@ -57,10 +57,18 @@ def _pack_rows(x: jax.Array) -> jax.Array:
 
 @functools.lru_cache(maxsize=None)
 def make_convert_pack(
-    cfg: MsmConfig, tile: int = DEFAULT_TILE, interpret: bool = False
+    cfg: MsmConfig,
+    tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+    x_scale_int: int | None = None,
 ):
     """Build the fused converter: (x_u16 [n, Wu], y_u16 [n, Wu]) ->
-    packed [n, 2P] Montgomery-form coordinates (pallas_scan wire format)."""
+    packed [n, 2P] Montgomery-form coordinates (pallas_scan wire format).
+
+    ``x_scale_int`` overrides the to-Montgomery constant for x (default
+    R^2, i.e. x -> x*R). The GLV phi-table build passes beta*R^2: the
+    endomorphism phi(x, y) = (beta*x, y) and the Montgomery conversion
+    become the SAME single multiply (mont_mul(x, beta*R^2) = beta*x*R)."""
     L = cfg.num_words
     w, mask = cfg.word_size, cfg.mask
     P = (L + 1) // 2
@@ -68,14 +76,18 @@ def make_convert_pack(
     Wu = (max(cfg.curve.modulus_bits, 16) + 15) // 16
     q_np = int_to_limbs(cfg.curve.modulus, w, L).astype(np.int32)[:, None]
     r2_np = int_to_limbs(cfg.r2, w, L).astype(np.int32)[:, None]
+    xs_np = r2_np if x_scale_int is None else int_to_limbs(
+        x_scale_int % cfg.curve.modulus, w, L
+    ).astype(np.int32)[:, None]
 
-    def kernel(q, r2, xr, yr, out, acc_ref):
-        _, _, f_mul, _ = _make_field_ops(cfg, q[:], acc_ref)
+    def kernel(q, r2, xsc, xr, yr, out, acc_ref):
+        _, _, f_mul, _, _ = _make_field_ops(cfg, q[:], acc_ref)
         r2b = r2[:] + jnp.zeros((L, tile), jnp.int32)
+        xscb = xsc[:] + jnp.zeros((L, tile), jnp.int32)
         cols = []
-        for ref in (xr, yr):
+        for ref, scale in ((xr, xscb), (yr, r2b)):
             limbs = _extract_limbs(ref[:].T, w, L, mask)
-            cols.append(_pack_rows(f_mul(limbs, r2b)))
+            cols.append(_pack_rows(f_mul(limbs, scale)))
         out[:] = jnp.concatenate(cols, axis=0).T  # [tile, 2P]
 
     def convert_pack(x_u16, y_u16):
@@ -93,11 +105,14 @@ def make_convert_pack(
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[cspec, cspec, inspec, inspec],
+            in_specs=[cspec, cspec, cspec, inspec, inspec],
             out_specs=outspec,
             out_shape=jax.ShapeDtypeStruct((n, 2 * P), jnp.int32),
             scratch_shapes=[pltpu.VMEM((2 * L + 1, tile), jnp.int32)],
             interpret=interpret,
-        )(jnp.asarray(q_np), jnp.asarray(r2_np), x_u16, y_u16)
+        )(
+            jnp.asarray(q_np), jnp.asarray(r2_np), jnp.asarray(xs_np),
+            x_u16, y_u16,
+        )
 
     return convert_pack

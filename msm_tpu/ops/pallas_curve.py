@@ -100,13 +100,29 @@ def _make_field_ops(
         return a + b
 
     # phase-1 step width: amortizes the scratch load/add/store over S1
-    # a-limbs per pass. Column budget: (L + S1 - 1) * 2^(2w) < 2^31.
+    # a-limbs per pass.
     S1 = next(s for s in (4, 3, 2, 1) if L % s == 0)
-    assert (L + S1 - 1) * ((1 << w) - 1) ** 2 < (1 << 31)
+    # Column budget, proved against what the kernel actually relies on:
+    # a middle schoolbook column accumulates up to L products across ALL
+    # passes before the single sweep, and swept operand limbs are bounded
+    # by 2^w + c, c <= 128 (worst chain: f_add(f_add_raw(t0,t0), t0) of
+    # dirty ~2^(w+4.6) mul outputs sweeps to 2^w + 2^6.2; packed kernel
+    # inputs are < 2^w + 2^5; top limbs stay in range because |value| is
+    # bounded ~10p and R >= 64p).
+    BOUND = (1 << w) + 128
+    assert L * BOUND * BOUND < (1 << 31), (w, L)
+    # REDC columns: post-sweep residue + up to L exact m*q products + the
+    # pushed carries (< 2^18)
+    assert (
+        L * ((1 << w) - 1) ** 2 + (1 << 18) + (1 << (w + 5)) < (1 << 31)
+    ), (w, L)
 
-    def mont_mul(a, b):
-        """Fixed-position CIOS, S1 a-limbs per accumulation pass;
-        |out| < ab/R + p + eps like FieldCtx."""
+    def _phase1(a, b, accumulate: bool, negate: bool = False):
+        """Schoolbook a*b columns into acc_ref rows [0, 2L). With
+        ``accumulate`` the products add on top of the (already swept)
+        existing columns — the merged-REDC path; ``negate`` subtracts
+        them instead (signed columns; sweeps and REDC are sign-clean on
+        int32 two's complement)."""
         T = a.shape[-1]
         zrow = jnp.zeros((1, T), dtype=jnp.int32)
 
@@ -118,19 +134,26 @@ def _make_field_ops(
 
         W1 = L + S1 - 1
         b_ext = [at_offset(b, j, W1) for j in range(S1)]
-        # phase 1: schoolbook columns, in place (no carries needed: < 2^31)
+        sgn = -1 if negate else 1
         first = a[0:1] * b_ext[0]
         for j in range(1, S1):
             first = first + a[j : j + 1] * b_ext[j]
-        acc_ref[0:W1] = first
-        acc_ref[W1 : 2 * L + 1] = jnp.zeros_like(acc_ref[W1 : 2 * L + 1])
+        if accumulate:
+            acc_ref[0:W1] += sgn * first
+        else:
+            acc_ref[0:W1] = first
+            acc_ref[W1 : 2 * L + 1] = jnp.zeros_like(
+                acc_ref[W1 : 2 * L + 1]
+            )
         for i in range(S1, L, S1):
             s = a[i : i + 1] * b_ext[0]
             for j in range(1, S1):
                 s = s + a[i + j : i + j + 1] * b_ext[j]
-            acc_ref[i : i + W1] += s
-        # one parallel sweep: columns -> < 2^13 + 2^17.4
+            acc_ref[i : i + W1] += sgn * s
+        # one parallel sweep: columns -> < 2^13 + 2^18
         acc_ref[:] = sweep(acc_ref[:])
+
+    def _redc(T, dirty: bool):
         # phase 2: REDC, RW low rows cleared per pass. Widening amortizes
         # the (L+RW)-row scratch read-modify-write over RW limbs (the m_j*q
         # MAC count per limb is fixed at L; the RMW traffic is ~2(L+RW)/RW
@@ -138,6 +161,7 @@ def _make_field_ops(
         # a pass resolves each low row with the carries and cross-terms of
         # the pass's earlier m's before deriving the next m (same recurrence
         # as the 2-wide version, extended).
+        zrow = jnp.zeros((1, T), dtype=jnp.int32)
         qb = q_col + jnp.zeros((L, T), jnp.int32)
         RW = next(rw for rw in (4, 3, 2, 1) if L >= rw)
         q_ext = [
@@ -183,11 +207,38 @@ def _make_field_ops(
             [out[: L - 1], out[L - 1 :] + (acc_ref[2 * L : 2 * L + 1] << w)],
             axis=0,
         )
-        if dirty_mul_out:
+        if dirty:
             return sweep(out)
         return sweep(sweep(out))
 
-    return add, sub, mont_mul, add_raw
+    def mont_mul(a, b):
+        """Fixed-position CIOS, S1 a-limbs per accumulation pass;
+        |out| < ab/R + p + eps like FieldCtx."""
+        _phase1(a, b, accumulate=False)
+        return _redc(a.shape[-1], dirty_mul_out)
+
+    def mont_mul2(a1, b1, a2, b2, negate2: bool = False):
+        """Merged-REDC product pair: REDC(a1*b1 +/- a2*b2) — ONE Montgomery
+        reduction for two schoolbook products. The RCB16 tails are exactly
+        this shape (x3 = t3*t1 - t4*y3; y3 = t1m*z3 + y3*t0_3;
+        z3 = z3*t4 + t0_3*t3), so each of those three outputs saves a full
+        REDC pass (~800 of ~1600 row-ops/mul, minus one extra sweep).
+
+        Congruence: REDC(A + B) = REDC(A) + REDC(B) mod p, with |out| <
+        (|A|+|B|)/R + p — one bit looser than a single product, absorbed by
+        the balanced representation. Column budget: conv1 is swept before
+        conv2 accumulates, so peak columns are L*BOUND^2 + 2^18, within the
+        phase-1 assert.
+
+        The output is ALWAYS fully swept (never dirty): these merged values
+        are the kernel outputs that feed the next step's multiplies
+        directly, with no re-normalizing f_add/f_sub in between (the
+        normalization the dirty contract relies on)."""
+        _phase1(a1, b1, accumulate=False)
+        _phase1(a2, b2, accumulate=True, negate=negate2)
+        return _redc(a1.shape[-1], dirty=False)
+
+    return add, sub, mont_mul, add_raw, mont_mul2
 
 
 def aux_b3_limbs(cfg: MsmConfig):
@@ -234,7 +285,7 @@ def _rcb16_add(cfg: MsmConfig):
     ``q_col``/``aux_col`` arrive as [L, 1] traced inputs (aux_b3_limbs)."""
 
     def add_points(q_col, aux_col, acc_ref, x1, y1, z1, x2, y2, z2):
-        f_add, f_sub, f_mul, f_add_raw = _make_field_ops(
+        f_add, f_sub, f_mul, f_add_raw, f_mul2 = _make_field_ops(
             cfg, q_col, acc_ref, dirty_mul_out=cfg.small_b3 is not None
         )
         mul_b3 = _make_mul_b3(cfg, aux_col, f_mul)
@@ -253,9 +304,10 @@ def _rcb16_add(cfg: MsmConfig):
         z3 = f_add(t1, t2b)
         t1m = f_sub(t1, t2b)
         y3 = mul_b3(t5)
-        x3 = f_sub(f_mul(t3, t1m), f_mul(t4, y3))
-        y3 = f_add(f_mul(t1m, z3), f_mul(y3, t0_3))
-        z3 = f_add(f_mul(z3, t4), f_mul(t0_3, t3))
+        # merged-REDC tails: one Montgomery reduction per output
+        x3 = f_mul2(t3, t1m, t4, y3, negate2=True)
+        y3 = f_mul2(t1m, z3, y3, t0_3)
+        z3 = f_mul2(z3, t4, t0_3, t3)
         return x3, y3, z3
 
     return add_points

@@ -76,7 +76,7 @@ def _rcb16_madd(cfg: MsmConfig):
     [L, T] arrays. Returns (x3, y3, z3)."""
 
     def madd(q_col, b3m_col, acc_ref, x1, y1, z1, x2, y2):
-        f_add, f_sub, f_mul, f_add_raw = _make_field_ops(
+        f_add, f_sub, f_mul, f_add_raw, f_mul2 = _make_field_ops(
             cfg, q_col, acc_ref, dirty_mul_out=cfg.small_b3 is not None
         )
 
@@ -93,9 +93,10 @@ def _rcb16_madd(cfg: MsmConfig):
         z3 = f_add(t1, t2)
         t1 = f_sub(t1, t2)
         y3 = mul_b3(y3)
-        x3 = f_sub(f_mul(t3, t1), f_mul(t4, y3))
-        y3 = f_add(f_mul(y3, t0_3), f_mul(t1, z3))
-        z3 = f_add(f_mul(z3, t4), f_mul(t0_3, t3))
+        # merged-REDC tails: one Montgomery reduction per output
+        x3 = f_mul2(t3, t1, t4, y3, negate2=True)
+        y3 = f_mul2(y3, t0_3, t1, z3)
+        z3 = f_mul2(z3, t4, t0_3, t3)
         return x3, y3, z3
 
     return madd

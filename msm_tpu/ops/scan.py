@@ -29,7 +29,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from msm_tpu.ops.curve import CurveCtx, PointBatch, point_where
+from msm_tpu.ops.curve import (
+    CurveCtx,
+    PointBatch,
+    pallas_interpret,
+    point_where,
+)
 
 
 def gather_points(pts: PointBatch, idx: jax.Array) -> PointBatch:
@@ -255,7 +260,9 @@ def window_sum_from_pe(ec: CurveCtx, pe: PointBatch) -> PointBatch:
     if _pallas_enabled() and (B - 1) % 128 == 0:
         from msm_tpu.ops.pallas_prefix import make_point_total
 
-        tx, ty, tz = make_point_total(ec.cfg, B - 1)(body.x, body.y, body.z)
+        tx, ty, tz = make_point_total(
+            ec.cfg, B - 1, interpret=pallas_interpret()
+        )(body.x, body.y, body.z)
         total = PointBatch(tx[:, 0], ty[:, 0], tz[:, 0])
     else:
         total = tree_reduce_points(ec, body)
@@ -285,11 +292,13 @@ def _counts_leq(keys: jax.Array, num_buckets: int) -> jax.Array:
     from msm_tpu.ops.curve import _pallas_enabled
     from msm_tpu.ops.pallas_hist import CHUNK, make_bucket_hist
 
-    if _pallas_enabled() and n % CHUNK == 0:
+    if _pallas_enabled() and n % CHUNK == 0 and n < (1 << 24):
         # in-kernel one-hots + MXU dot: keys in, 132 KB histogram out —
         # the jnp-level formulations either fall off the MXU (operand-
         # fused, ~26 ms/4x2^20) or pay ~45 ms of one-hot HBM writes
-        counts = make_bucket_hist(n, num_buckets)(keys)[:num_buckets]
+        counts = make_bucket_hist(
+            n, num_buckets, interpret=pallas_interpret()
+        )(keys)[:num_buckets]
         return jnp.cumsum(counts)
     H = (num_buckets + 255) // 256  # hi cells
     hi = (keys >> 8).astype(jnp.int32)
@@ -377,7 +386,7 @@ def _sorted_prefix(
     W = g.shape[-1]
     # [C, 2P, R]: XLA's gather emits rows-minor data, so this transpose is
     # a layout assignment, not a copy — and the kernel wants coords-first
-    rx, ry, rz = make_scan_rows(ec.cfg, C, R)(
+    rx, ry, rz = make_scan_rows(ec.cfg, C, R, interpret=pallas_interpret())(
         g.reshape(C, R, W).swapaxes(1, 2), sg.reshape(C, 1, R)
     )
     row_prefix = PointBatch(rx, ry, rz)
@@ -385,7 +394,9 @@ def _sorted_prefix(
 
     # fused exclusive-prefix kernel over the [L, R] row totals: one dispatch
     # instead of the ~25 of the blocked-XLA exclusive_prefix_points chain
-    ox, oy, oz = make_row_offsets(ec.cfg, R)(rx[-1], ry[-1], rz[-1])
+    ox, oy, oz = make_row_offsets(ec.cfg, R, interpret=pallas_interpret())(
+        rx[-1], ry[-1], rz[-1]
+    )
     offsets = PointBatch(ox, oy, oz)
     return row_prefix, offsets, True
 
@@ -445,7 +456,9 @@ def bucket_reduce_blocked(
         def arr(a):  # body [B-1] -> [Bl, T, L] steps-major (ascending)
             return a[1:].reshape(T, Bl, L).swapaxes(0, 1)
 
-        mc, gc = make_bpr_phase1(ec.cfg, Bl, T)(
+        mc, gc = make_bpr_phase1(
+            ec.cfg, Bl, T, interpret=pallas_interpret()
+        )(
             arr(buckets.x), arr(buckets.y), arr(buckets.z)
         )
         m, g = PointBatch(*mc), PointBatch(*gc)

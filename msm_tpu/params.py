@@ -126,12 +126,14 @@ def calc_rinv_and_n0(p: int, r: int, word_size: int) -> tuple[int, int]:
 
 
 def gen_mu(p: int, num_bits: int) -> int:
-    """Barrett constant mu = floor(4^k / p) with 4^k the square of the first
-    power of two above p. Reference: ``src/cuzk/utils.rs:261-270``.
+    """Barrett constant mu = floor(4^k / p) with 2^k the first power of two
+    at or above p — k == num_bits == p.bit_length() for non-power-of-two p.
+    Reference: ``src/cuzk/utils.rs:261-270``.
     """
-    x = 1
-    while x < p:
+    x = 1 << num_bits
+    while x < p:  # only if the caller passed num_bits < p.bit_length()
         x <<= 1
+    assert x // 2 < p <= x
     return (x * x) // p
 
 
@@ -158,6 +160,8 @@ class MsmConfig:
     curve: CurveSpec
     word_size: int = 13  # limb bit-width (reference WORD_SIZE, msm.rs:34)
     chunk_size: int = 16  # scalar window bit-width (msm.rs:79)
+    glv: bool = False  # GLV endomorphism split (ops/glv.py): half the
+    #                    windows over 2x points; needs curve.a == 0
 
     # ---- limb geometry -----------------------------------------------------
     @property
@@ -185,6 +189,12 @@ class MsmConfig:
 
     @property
     def num_subtasks(self) -> int:
+        if self.glv:
+            # windows cover the GLV half-scalar bound |k_i| < 2^half_bits
+            # (~127 for 254-bit orders): 8 windows at chunk 16 instead of 16
+            from msm_tpu.ops.glv import glv_params
+
+            return -(-glv_params(self.curve).half_bits // self.chunk_size)
         return -(-self.scalar_bits // self.chunk_size)
 
     @property
@@ -247,6 +257,8 @@ class MsmConfig:
             raise ValueError("word_size must be in [8, 16] for int32 lanes")
         if not (1 <= self.chunk_size <= 16):
             raise ValueError("chunk_size must be in [1, 16]")
+        if self.glv and self.curve.a != 0:
+            raise ValueError("GLV needs an a=0 curve (cube-root endomorphism)")
 
 
 #: Default config — mirrors the reference's production choice: 13-bit limbs,

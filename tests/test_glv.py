@@ -1,0 +1,172 @@
+"""GLV endomorphism tests: derivation, host split, device split, e2e.
+
+No reference analogue (the reference has no GLV, msm.rs:79-82); the oracle
+is the same halo2curves-equivalent CPU MSM every e2e test uses."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from msm_tpu.ops.glv import (
+    glv_params,
+    split_scalar,
+    split_scalars_device,
+    decompose_signed_glv,
+)
+from msm_tpu.oracle.pyecc import Curve
+from msm_tpu.params import BLS12_377, BN254, PALLAS, MsmConfig
+
+
+@pytest.mark.parametrize("curve", [BN254, BLS12_377, PALLAS])
+def test_glv_derivation(curve):
+    g = glv_params(curve)
+    r, q = curve.order, curve.modulus
+    assert pow(g.lam, 3, r) == 1 and g.lam != 1
+    assert pow(g.beta, 3, q) == 1 and g.beta != 1
+    # basis vectors lie in the lattice and are short
+    for v in (g.v1, g.v2):
+        assert (v[0] + v[1] * g.lam) % r == 0
+        assert max(abs(v[0]), abs(v[1])) < 2 * (1 << (r.bit_length() // 2 + 2))
+    # phi(P) == lam * P on a random point, not just the generator
+    cv = Curve(curve)
+    P = cv.sample_points(3, seed=9)[2]
+    lhs = cv.to_affine(cv.scalar_mul(P, g.lam))
+    x, y = cv.to_affine(P)
+    assert lhs == ((x * g.beta) % q, y)
+
+
+@pytest.mark.parametrize("curve", [BN254, BLS12_377])
+def test_glv_host_split(curve):
+    g = glv_params(curve)
+    r = curve.order
+    rng = np.random.default_rng(3)
+    ks = [0, 1, r - 1, g.lam, r - g.lam] + [
+        int.from_bytes(rng.bytes(32), "little") % r for _ in range(200)
+    ]
+    for k in ks:
+        k1, k2 = split_scalar(k, g, r)
+        assert (k1 + k2 * g.lam - k) % r == 0
+        assert abs(k1) <= g.max_component and abs(k2) <= g.max_component
+        assert g.half_bits <= (r.bit_length() // 2 + 3)
+
+
+def test_glv_device_split_matches_bounds():
+    cfg = MsmConfig(curve=BN254, glv=True)
+    g = glv_params(BN254)
+    r = BN254.order
+    rng = np.random.default_rng(4)
+    ks = [0, 1, r - 1, g.lam] + [
+        int.from_bytes(rng.bytes(32), "little") % r for _ in range(60)
+    ]
+    s_u16 = np.zeros((len(ks), 16), np.int32)
+    for i, k in enumerate(ks):
+        for j in range(16):
+            s_u16[i, j] = (k >> (16 * j)) & 0xFFFF
+    a1, n1, a2, n2 = split_scalars_device(jnp.asarray(s_u16), cfg)
+    a1, n1, a2, n2 = map(np.asarray, (a1, n1, a2, n2))
+    W = a1.shape[1]
+    for i, k in enumerate(ks):
+        k1 = sum(int(a1[i, j]) << (16 * j) for j in range(W))
+        k2 = sum(int(a2[i, j]) << (16 * j) for j in range(W))
+        if n1[i]:
+            k1 = -k1
+        if n2[i]:
+            k2 = -k2
+        # congruence is what correctness needs; device rounding may differ
+        # from the host split by one basis vector, so only bound loosely
+        assert (k1 + k2 * g.lam - k) % r == 0, (i, k)
+        assert abs(k1) <= g.max_component and abs(k2) <= g.max_component
+
+
+def _msm_fixture(n, seed):
+    cv = Curve(BN254)
+    base = [cv.to_affine(p) for p in cv.sample_points(32, seed=seed)]
+    pts = [base[i % len(base)] for i in range(n)]
+    rng = np.random.default_rng(seed + 1)
+    ks = [
+        int.from_bytes(rng.bytes(32), "little") % BN254.order
+        for _ in range(n)
+    ]
+    return pts, ks
+
+
+@pytest.mark.parametrize("chunk", [8, 16])
+def test_glv_msm_e2e(chunk):
+    from msm_tpu.models.cuzk import compute_msm_jpoint
+    from msm_tpu.oracle import best_msm
+
+    cv = Curve(BN254)
+    pts, ks = _msm_fixture(257, seed=21)
+    cfg = MsmConfig(curve=BN254, chunk_size=chunk, glv=True)
+    got = compute_msm_jpoint(pts, ks, config=cfg)
+    assert cv.eq(got, best_msm(pts, ks))
+
+
+def test_glv_msm_e2e_bls12_377():
+    from msm_tpu.models.cuzk import compute_msm_jpoint
+    from msm_tpu.oracle import best_msm
+
+    cv = Curve(BLS12_377)
+    base = [cv.to_affine(p) for p in cv.sample_points(16, seed=3)]
+    pts = [base[i % len(base)] for i in range(64)]
+    rng = np.random.default_rng(7)
+    ks = [
+        int.from_bytes(rng.bytes(32), "little") % BLS12_377.order
+        for _ in range(64)
+    ]
+    cfg = MsmConfig(curve=BLS12_377, chunk_size=8, glv=True)
+    got = compute_msm_jpoint(pts, ks, config=cfg)
+    assert cv.eq(got, best_msm(pts, ks, curve=BLS12_377))
+
+
+def test_glv_fused_pipeline_interpret():
+    """GLV x every fused kernel (convert+phi-convert, scan, offsets,
+    histogram, point-total) in interpret mode — the production TPU program
+    for a GLV config, on CPU."""
+    from msm_tpu.models.cuzk import compute_msm_jpoint
+    from msm_tpu.models.geometry import MsmGeometry
+    from msm_tpu.ops.curve import set_pallas_mode
+    from msm_tpu.oracle import best_msm
+
+    cv = Curve(BN254)
+    pts, ks = _msm_fixture(4096, seed=22)
+    cfg = MsmConfig(curve=BN254, chunk_size=8, glv=True)
+    geom = MsmGeometry(num_rows=256, bpr_threads=64, subtask_batch=4)
+    set_pallas_mode("interpret")
+    try:
+        got = compute_msm_jpoint(pts, ks, config=cfg, geometry=geom)
+    finally:
+        set_pallas_mode("auto")
+    assert cv.eq(got, best_msm(pts, ks))
+
+
+def test_glv_decompose_digits_reconstruct():
+    cfg = MsmConfig(curve=BN254, glv=True)
+    g = glv_params(BN254)
+    r = BN254.order
+    c, S = cfg.chunk_size, cfg.num_subtasks
+    assert S == 8, S  # the headline halving vs 16
+    rng = np.random.default_rng(5)
+    ks = [int.from_bytes(rng.bytes(32), "little") % r for _ in range(40)]
+    s_u16 = np.zeros((len(ks), 16), np.int32)
+    for i, k in enumerate(ks):
+        for j in range(16):
+            s_u16[i, j] = (k >> (16 * j)) & 0xFFFF
+    keys, signs = decompose_signed_glv(jnp.asarray(s_u16), c, S, cfg)
+    keys, signs = np.asarray(keys), np.asarray(signs)
+    n = len(ks)
+    assert keys.shape == (S, 2 * n)
+    for i, k in enumerate(ks):
+        # digits of column i (k1 half) and column n+i (k2 half) must
+        # reconstruct a pair congruent to k via lambda
+        k1 = sum(
+            (-1 if signs[j, i] else 1) * int(keys[j, i]) << (c * j)
+            for j in range(S)
+        )
+        k2 = sum(
+            (-1 if signs[j, n + i] else 1) * int(keys[j, n + i]) << (c * j)
+            for j in range(S)
+        )
+        assert (k1 + k2 * g.lam - k) % r == 0, i
+        assert (keys[:, i] <= cfg.num_buckets - 1).all()

@@ -76,6 +76,34 @@ def test_cuzk_result_is_identity():
     assert got.is_identity()
 
 
+def test_cuzk_msm_random_size():
+    """Randomized input size each run — reference
+    tests/test_webgpu_msm_cuzk_random.rs:11-15 (n in [2^16, 2^20)), scaled
+    to CPU-backend size. Fresh entropy intentionally (the reference also
+    re-rolls per run); the failing n is in the assert message."""
+    n = int(np.random.default_rng().integers(64, 512))
+    pts, ks = _fixture(n, seed=8)
+    cfg = MsmConfig(curve=BN254, chunk_size=8)
+    got = compute_msm_jpoint(pts, ks, config=cfg)
+    want = CV.msm([CV.from_affine(*p) for p in pts], ks)
+    assert CV.eq(got, want), f"random size n={n}"
+
+
+def test_cuzk_msm_32bit_scalars():
+    """Small-scalar inputs (reference sample_32_bit_scalars, lib.rs:25-33):
+    every window above the low two lands in bucket 0 — a distinct edge-case
+    class for the signed recode + bucket machinery."""
+    from msm_tpu import sample_32_bit_scalars
+
+    pts, _ = _fixture(33, seed=10)
+    ks = sample_32_bit_scalars(33, seed=11)
+    assert max(ks) < (1 << 32)
+    cfg = MsmConfig(curve=BN254, chunk_size=8)
+    got = compute_msm_jpoint(pts, ks, config=cfg)
+    want = CV.msm([CV.from_affine(*p) for p in pts], ks)
+    assert CV.eq(got, want)
+
+
 @pytest.mark.slow
 def test_cuzk_msm_4096():
     pts, ks = _fixture(4096, seed=7)
