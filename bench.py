@@ -15,6 +15,13 @@ Flags:
     --verify       cross-check the result against the CPU oracle (2^16 only
                    by default; slow at 2^20)
     --timings      also print a human-readable stage breakdown to stderr
+    --sharded D    scaling-efficiency mode (BASELINE.md "report 1 chip /
+                   1 host / N hosts"): run the sharded pipeline at D=1 and
+                   D shards, report field-muls/sec/chip and efficiency =
+                   ops/s(D) / (D * ops/s(1)). Uses real devices when >= D
+                   exist, else a D-device virtual CPU mesh (validates the
+                   plumbing; the same command runs unchanged on a pod
+                   slice). Emits ONE JSON line with the full table.
 """
 
 from __future__ import annotations
@@ -47,14 +54,140 @@ def sample_inputs(n: int, cfg, seed: int = 0):
     return pts, ks
 
 
+def bench_sharded(args) -> None:
+    """Scaling-efficiency harness: field-muls/sec/chip at D=1 vs D shards.
+
+    The artifact BASELINE.md asks for ("report 1 chip / 1 host / N hosts"):
+    on a pod slice this same invocation measures real ICI/DCN scaling; on
+    this image it falls back to a virtual CPU mesh, which validates the
+    sharded program + measurement plumbing (the efficiency number itself is
+    only meaningful on real chips).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from msm_tpu.models import common
+    from msm_tpu.models.geometry import pick_geometry
+    from msm_tpu.parallel.sharded import default_mesh, sharded_window_sums
+    from msm_tpu.params import pick_config
+
+    D = args.sharded
+    assert D & (D - 1) == 0, "shard count must be a power of two"
+    platform = jax.devices()[0].platform
+    if len(jax.devices()) < D:
+        import jax.extend.backend as _jb
+
+        jax.config.update("jax_platforms", "cpu")
+        _jb.clear_backends()
+        jax.config.update("jax_num_cpu_devices", D)
+        platform = "cpu (virtual mesh — plumbing validation only)"
+    n = 1 << args.size
+    cfg = pick_config(n)
+    pts, ks = sample_inputs(n, cfg)
+    x_u16, y_u16, s_u16 = common.pad_inputs(pts, ks, cfg, multiple=16 * D)
+    muls = cfg.num_subtasks * n * 13  # scan madds x RCB16-alg8 mont-muls
+
+    rows = []
+    for d in sorted({1, D}):
+        mesh = default_mesh(jax.devices()[:d])
+        geom = pick_geometry(x_u16.shape[0] // d, cfg.chunk_size)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P("data", None))
+        xd = jax.device_put(jnp.asarray(x_u16), sh)
+        yd = jax.device_put(jnp.asarray(y_u16), sh)
+        sd = jax.device_put(jnp.asarray(s_u16), sh)
+        ws = sharded_window_sums(xd, yd, sd, cfg, geom, mesh, "data")
+        np.asarray(ws)  # compile + warm (fetch synchronizes)
+        times = []
+        for _ in range(args.reps):
+            t0 = time.time()
+            ws = sharded_window_sums(xd, yd, sd, cfg, geom, mesh, "data")
+            np.asarray(ws)
+            times.append(time.time() - t0)
+        t = min(times)
+        rows.append({
+            "shards": d,
+            "wall_ms": round(t * 1e3, 2),
+            "field_muls_per_sec_per_chip": round(muls / t / d),
+        })
+        print(f"[bench] D={d}: {t*1e3:.1f} ms, "
+              f"{muls/t/d/1e9:.2f} G muls/s/chip", file=sys.stderr)
+    base = rows[0]["field_muls_per_sec_per_chip"]
+    eff = rows[-1]["field_muls_per_sec_per_chip"] / base if base else 0.0
+    print(json.dumps({
+        "metric": f"bn254_msm_2^{args.size}_scaling_efficiency_{D}x",
+        "value": round(eff, 4),
+        "unit": "ops_per_sec_ratio",
+        "vs_baseline": round(eff / 0.8, 3),  # target: >80% efficiency
+        "platform": platform,
+        "detail": rows,
+    }))
+
+
+def bench_batched(args) -> None:
+    """Batched-MSM throughput (BASELINE config 4: many independent 2^size
+    instances in one device program). Reports instances/sec and the
+    per-instance wall-clock vs running them as separate dispatches."""
+    import jax.numpy as jnp
+
+    from msm_tpu.models import common
+    from msm_tpu.models.batched import batched_window_sums
+    from msm_tpu.models.geometry import pick_geometry
+    from msm_tpu.params import pick_config
+
+    B = args.batched
+    n = 1 << args.size
+    cfg = pick_config(n)
+    pts, ks = sample_inputs(n, cfg)
+    x, y, s = common.pad_inputs(pts, ks, cfg)
+    # distinct scalars per instance (points shared is fine: cost-identical)
+    rng = np.random.default_rng(9)
+    xb = jnp.asarray(np.broadcast_to(x, (B,) + x.shape))
+    yb = jnp.asarray(np.broadcast_to(y, (B,) + y.shape))
+    sb = jnp.asarray(
+        np.stack([np.roll(s, i, axis=0) for i in range(B)])
+    )
+    del rng
+    geom = pick_geometry(x.shape[0], cfg.chunk_size)
+    ws = batched_window_sums(xb, yb, sb, cfg, geom)
+    np.asarray(ws)  # compile + warm
+    times = []
+    for _ in range(args.reps):
+        t0 = time.time()
+        np.asarray(batched_window_sums(xb, yb, sb, cfg, geom))
+        times.append(time.time() - t0)
+    t = min(times)
+    print(f"[bench] B={B} x 2^{args.size}: {t*1e3:.1f} ms total, "
+          f"{t/B*1e3:.2f} ms/instance", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"bn254_batched_msm_{B}x2^{args.size}_per_instance",
+        "value": round(t / B * 1e3, 2),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / (t / B * 1e3), 3),
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=20)
     ap.add_argument("--chunk", type=int, default=0, help="override window size (0 = config default)")
+    ap.add_argument("--glv", action="store_true", help="GLV endomorphism config")
     ap.add_argument("--verify", action="store_true")
     ap.add_argument("--timings", action="store_true")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--sharded", type=int, default=0, metavar="D",
+                    help="scaling-efficiency mode over D shards")
+    ap.add_argument("--batched", type=int, default=0, metavar="B",
+                    help="batched-MSM mode: B independent instances")
     args = ap.parse_args()
+
+    if args.sharded:
+        bench_sharded(args)
+        return
+    if args.batched:
+        bench_batched(args)
+        return
 
     import jax
     import jax.numpy as jnp
@@ -66,6 +199,10 @@ def main() -> None:
 
     n = 1 << args.size
     cfg = MsmConfig(curve=BN254, chunk_size=args.chunk) if args.chunk else pick_config(n)
+    if args.glv:
+        from dataclasses import replace
+
+        cfg = replace(cfg, glv=True)
     t0 = time.time()
     pts, ks = sample_inputs(n, cfg)
     x_u16, y_u16, s_u16 = common.pad_inputs(pts, ks, cfg)

@@ -28,13 +28,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from msm_tpu.models import common
+from msm_tpu.models.cuzk import _window_sums_mont
 from msm_tpu.models.geometry import MsmGeometry, pick_geometry
 from msm_tpu.ops.curve import PointBatch, get_curve_ctx
-from msm_tpu.ops.decompose import decompose_signed
-from msm_tpu.ops.scan import bucket_accumulate, bucket_reduce_blocked
 from msm_tpu.oracle.pyecc import JPoint
 from msm_tpu.params import DEFAULT_CONFIG, MsmConfig
 
@@ -63,31 +61,12 @@ def _tree_add_points(ec, stacked: jax.Array) -> jax.Array:
     return stacked[0]
 
 
-def _local_window_sums_mont(
-    x_u16: jax.Array,
-    y_u16: jax.Array,
-    s_u16: jax.Array,
-    cfg: MsmConfig,
-    geom: MsmGeometry,
-) -> jax.Array:
-    """Single-shard cuZK stages 1-4: u16 inputs [m, 16] -> Montgomery window
-    sums [S, 3, L] (same body as models.cuzk.cuzk_window_sums, pre-export)."""
-    ec = get_curve_ctx(cfg)
-    pts, packed = common.prepare_points(ec, x_u16, y_u16, geom.num_rows)
-    keys, signs = decompose_signed(s_u16, cfg.chunk_size, cfg.num_subtasks)
-
-    def subtask(args):
-        k, s = args
-        buckets = bucket_accumulate(
-            ec, pts, k, cfg.num_buckets, geom.num_rows, signs=s, affine=True,
-            packed=packed,
-        )
-        w = bucket_reduce_blocked(ec, buckets, geom.bpr_threads)
-        return jnp.stack([w.x, w.y, w.z])
-
-    return jax.lax.map(
-        subtask, (keys, signs), batch_size=common.subtask_batch(geom, cfg)
-    )  # [S, 3, L] Montgomery
+#: Single-shard cuZK stages 1-4: u16 inputs [m, 16] -> Montgomery window
+#: sums [S, 3, L]. This IS the production single-chip body
+#: (models.cuzk._window_sums_mont — fused kernels, telescoped reduction):
+#: one pipeline, whether sharded or not, exactly like the reference's single
+#: command-buffer submit covering every stage (src/cuzk/msm.rs:92-94).
+_local_window_sums_mont = _window_sums_mont
 
 
 @functools.partial(
@@ -113,12 +92,12 @@ def sharded_window_sums(
         return _tree_add_points(ec, allws)  # replicated [S, 3, L]
 
     spec = P(axis, None)
-    merged_m = shard_map(
+    merged_m = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )(x_u16, y_u16, s_u16)
     wpts = PointBatch(merged_m[:, 0], merged_m[:, 1], merged_m[:, 2])
     return common.export_points_std(ec, wpts)

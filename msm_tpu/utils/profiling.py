@@ -139,6 +139,9 @@ def mont_variant_bench(cfg=None, batch: int = 1 << 16, reps: int = 5) -> dict:
     - ``mont_pallas``   — fixed-position multi-limb CIOS Pallas kernel,
                           measured through a full fused point-add (the
                           kernel's natural unit; reported per-mul)
+    - ``mont_eager_w{13..16}`` — uint32 eager-carry classic CIOS swept over
+                          the reference's word-size range 13..16
+                          (utils.rs:399-431; mont_pro_cios/modified analogue)
     """
     import jax
     import jax.numpy as jnp
@@ -172,4 +175,23 @@ def mont_variant_bench(cfg=None, batch: int = 1 << 16, reps: int = 5) -> dict:
     )
     out["pallas_add_ms"] = add_ms
     out["mont_pallas_ms_per_mul_equiv"] = add_ms / 15  # alg7: 15 mont ops
+    # word-size sweep of the eager uint32 CIOS (reference sweeps 13..16)
+    from dataclasses import replace
+
+    from msm_tpu.ops.field import mont_mul_eager
+
+    for w in (13, 14, 15, 16):
+        cw = replace(cfg, word_size=w)
+        rngw = np.random.default_rng(w)
+        aw = jnp.asarray(
+            rngw.integers(0, (1 << w) - 1, size=(batch, cw.num_words)),
+            dtype=jnp.int32,
+        )
+        bw = jnp.asarray(
+            rngw.integers(0, (1 << w) - 1, size=(batch, cw.num_words)),
+            dtype=jnp.int32,
+        )
+        out[f"mont_eager_w{w}_ms"] = 1e3 * _timeit(
+            lambda x, y, c=cw: mont_mul_eager(c, x, y), aw, bw, reps=reps
+        )
     return out

@@ -50,3 +50,35 @@ def test_sharded_matches_single_chip():
     a = compute_msm_sharded(pts, ks, CFG, mesh=mesh)
     b = compute_msm_jpoint(pts, ks, CFG)
     assert CV.eq(a, b)
+
+
+def test_sharded_fused_kernels_interpret():
+    """shard_map x Pallas co-test: the production fused kernels (convert/
+    pack, scan, row-offsets, point-total) execute INSIDE shard_map on the
+    CPU mesh via interpret mode. Real multi-chip TPU runs compose exactly
+    these two mechanisms, and this platform has a history of composition
+    miscompiles (vmap-of-pallas, models/common.subtask_batch) — this test
+    catches a shard_map-of-pallas miscompile before hardware does."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    from msm_tpu.models.geometry import MsmGeometry
+    from msm_tpu.ops.curve import set_pallas_mode
+    from msm_tpu.oracle import best_msm
+
+    mesh = default_mesh(jax.devices()[:2])
+    # 1024 points/shard with num_rows=256 satisfies fused_scan_available
+    geom = MsmGeometry(num_rows=256, bpr_threads=64, subtask_batch=4)
+    n = 2048
+    base = [CV.to_affine(p) for p in CV.sample_points(32, seed=11)]
+    pts = [base[i % len(base)] for i in range(n)]
+    rng = np.random.default_rng(12)
+    ks = [
+        int.from_bytes(rng.bytes(32), "little") % BN254.order
+        for _ in range(n)
+    ]
+    set_pallas_mode("interpret")
+    try:
+        got = compute_msm_sharded(pts, ks, CFG, mesh=mesh, geometry=geom)
+    finally:
+        set_pallas_mode("auto")
+    assert CV.eq(got, best_msm(pts, ks))
