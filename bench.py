@@ -173,6 +173,8 @@ def main() -> None:
     ap.add_argument("--size", type=int, default=20)
     ap.add_argument("--chunk", type=int, default=0, help="override window size (0 = config default)")
     ap.add_argument("--glv", action="store_true", help="GLV endomorphism config")
+    ap.add_argument("--compress", action="store_true",
+                    help="batched-affine pair compression config")
     ap.add_argument("--verify", action="store_true")
     ap.add_argument("--timings", action="store_true")
     ap.add_argument("--reps", type=int, default=3)
@@ -199,14 +201,17 @@ def main() -> None:
 
     n = 1 << args.size
     cfg = MsmConfig(curve=BN254, chunk_size=args.chunk) if args.chunk else pick_config(n)
-    if args.glv:
+    if args.glv or args.compress:
         from dataclasses import replace
 
-        cfg = replace(cfg, glv=True)
+        cfg = replace(cfg, glv=args.glv or cfg.glv,
+                      compress=args.compress or cfg.compress)
     t0 = time.time()
     pts, ks = sample_inputs(n, cfg)
     x_u16, y_u16, s_u16 = common.pad_inputs(pts, ks, cfg)
-    geom = pick_geometry(x_u16.shape[0], cfg.chunk_size)
+    geom = pick_geometry(
+        x_u16.shape[0], cfg.chunk_size, compress=cfg.compress
+    )
     xd, yd, sd = jnp.asarray(x_u16), jnp.asarray(y_u16), jnp.asarray(s_u16)
     print(f"[bench] setup {time.time()-t0:.1f}s; n=2^{args.size}, "
           f"device={jax.devices()[0].platform}", file=sys.stderr)

@@ -45,7 +45,8 @@ def cmd_msm(args) -> None:
     import msm_tpu
 
     cfg = msm_tpu.MsmConfig(
-        curve=msm_tpu.CURVES[args.curve], glv=getattr(args, "glv", False)
+        curve=msm_tpu.CURVES[args.curve], glv=getattr(args, "glv", False),
+        compress=getattr(args, "compress", False),
     )
     n = 1 << args.size
     pts, ks = _sample_lib(n, cfg.curve, seed=args.seed)
@@ -81,7 +82,10 @@ def cmd_verify(args) -> None:
 
     curve = msm_tpu.CURVES[args.curve]
     cv = Curve(curve)
-    cfg = msm_tpu.MsmConfig(curve=curve, glv=getattr(args, "glv", False))
+    cfg = msm_tpu.MsmConfig(
+        curve=curve, glv=getattr(args, "glv", False),
+        compress=getattr(args, "compress", False),
+    )
     n = 1 << args.size
     pts, ks = _sample_lib(n, curve, seed=args.seed)
     got = msm_tpu.run_tpu_msm(pts, ks, config=cfg)
@@ -141,6 +145,8 @@ def main(argv=None) -> None:
         if name in ("msm", "verify"):
             p.add_argument("--glv", action="store_true",
                            help="GLV endomorphism config (a=0 curves)")
+            p.add_argument("--compress", action="store_true",
+                           help="batched-affine pair compression")
         if name == "bench":
             p.add_argument("--verify", action="store_true")
         p.set_defaults(fn=fn)

@@ -82,12 +82,15 @@ def pad_inputs(
     )
 
 
-def pack_points(pts: PointBatch) -> jax.Array:
-    """16-bit-pack the affine x||y coordinates for the fused scan kernel
-    (pallas_scan.pack_coords); computed once per MSM, reused per subtask."""
+def pack_points(pts: PointBatch, cfg) -> jax.Array:
+    """Dense-pack the affine x||y coordinates for the fused scan kernel
+    (pallas_scan.pack_coords, canonical radix-2^32 wire format); computed
+    once per MSM, reused per subtask."""
     from msm_tpu.ops.pallas_scan import pack_coords
 
-    return jnp.concatenate([pack_coords(pts.x), pack_coords(pts.y)], axis=-1)
+    return jnp.concatenate(
+        [pack_coords(pts.x, cfg), pack_coords(pts.y, cfg)], axis=-1
+    )
 
 
 def prepare_points(

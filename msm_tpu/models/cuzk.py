@@ -114,7 +114,7 @@ def cuzk_window_sums(
         k = n // SLICE
         from msm_tpu.models.geometry import pick_geometry
 
-        gs = pick_geometry(SLICE, cfg.chunk_size)
+        gs = pick_geometry(SLICE, cfg.chunk_size, compress=cfg.compress)
 
         def body(args):
             xs, ys, ss = args
@@ -176,7 +176,9 @@ def compute_msm_jpoint(
     # adds each (window sums are linear in the points)
     CHUNK_MAX = 1 << 22
     if n <= CHUNK_MAX:
-        geom = geometry or pick_geometry(n, config.chunk_size)
+        geom = geometry or pick_geometry(
+            n, config.chunk_size, compress=config.compress
+        )
         ws = cuzk_window_sums(
             jnp.asarray(x_u16), jnp.asarray(y_u16), jnp.asarray(s_u16),
             config, geom,
@@ -185,7 +187,9 @@ def compute_msm_jpoint(
     from msm_tpu.oracle.pyecc import Curve
 
     cv = Curve(config.curve)
-    geom = geometry or pick_geometry(CHUNK_MAX, config.chunk_size)
+    geom = geometry or pick_geometry(
+        CHUNK_MAX, config.chunk_size, compress=config.compress
+    )
     acc: list | None = None
     for lo in range(0, n, CHUNK_MAX):
         ws = cuzk_window_sums(

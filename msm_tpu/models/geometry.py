@@ -26,7 +26,9 @@ class MsmGeometry:
     subtask_batch: int
 
 
-def pick_geometry(n: int, chunk_size: int) -> MsmGeometry:
+def pick_geometry(
+    n: int, chunk_size: int, compress: bool = False
+) -> MsmGeometry:
     """n must be a power of two (the host pads, like msm.rs:48-61)."""
     assert n & (n - 1) == 0 and n > 0
     # scan lanes: wide enough to fill the VPU tiles, small enough that the
@@ -34,6 +36,11 @@ def pick_geometry(n: int, chunk_size: int) -> MsmGeometry:
     # stays minor next to the n-madd row scan (R sweep at 2^20 on v5e:
     # 65536=72.9ms, 32768=69.9, 16384=68.5, 8192=70.0 per subtask)
     num_rows = max(1, min(n // 8, 1 << 14))
+    if compress:
+        # pair compression runs ONE Fermat inversion (~354 muls) per lane
+        # chain: R=1024 keeps that at ~4% of the chain's ~(n/R)*9.25 muls
+        # at 2^20 while still filling a full (8,128) VPU tile of lanes
+        num_rows = max(1, min(n // 8, 1 << 10))
     # bucket-reduction lanes (parity/naive paths only — production uses the
     # telescoped window_sum_from_pe): body = 2^(c-1) buckets in power-of-two
     # blocks; T=512 measured best (x16 batched: 512=54ms vs 2048=73ms)

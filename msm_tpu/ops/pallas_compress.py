@@ -1,0 +1,328 @@
+"""Pallas TPU kernels: batched-affine pair compression of the sorted stream.
+
+Halves the fused scan's madd count by first adding ADJACENT SORTED PAIRS
+with affine (z = 1) arithmetic at ~3.5 Montgomery muls per source point —
+vs 11.5 for running them through the madd scan — using Montgomery batch
+inversion along each lane's sequential chain for the shared 1/d:
+
+    pair sum (x3, y3):  lam = num / d
+                        x3  = lam^2 - x1 - x2
+                        y3  = lam * (x1 - x3) - y1'
+    d   = x2 - x1            (generic add)
+        | 2 * y1'            (doubling: same point, same sign)
+        | R (mont 1)         (P + (-P): flagged infinity, skipped downstream)
+    num = y2' - y1'  |  3 * x1^2  |  don't-care
+
+The compression is BUCKET-STRUCTURE-AGNOSTIC: every fixed pair (2i, 2i+1)
+is summed whether or not a bucket boundary falls between them — the
+compressed stream's prefix sums are still exact prefixes of the source
+stream, and ``ops/scan.bucket_boundary_prefix`` corrects odd-aligned bucket
+boundaries with a single-element add at extraction time (O(num_buckets)).
+
+Three passes (classic Montgomery batch inversion, restructured as two
+Pallas programs + one XLA exponentiation so the chain state lives in VMEM):
+
+1. ``forward``: running products m_c = d_0 * ... * d_c per lane (1 mul per
+   pair), m written to HBM.
+2. XLA: inv(m_last) via Fermat (FieldCtx.mont_pow, static p-2 chain) —
+   amortized over the whole lane chain, which is why compression wants
+   narrow-R geometry (R ~ 1024: ~300 muls of inversion vs ~n/R * 18.5
+   muls of chain work per lane).
+3. ``backward`` (reverse grid): inv_d = m_{c-1} * invrun, emit the pair
+   sum, invrun *= d_c (6 muls per pair).
+
+No reference analogue: the reference adds every source point individually
+in SMVP (``smvp.template.wgsl:70-79``). The technique is the standard
+batched-affine trick of CPU/GPU MSM provers, re-shaped for TPU: the
+sequential chain rides the Pallas grid, the wide batch rides the lanes.
+
+Safety notes:
+- d is never 0: canonical-x equality <=> value equality (the dense wire
+  format guarantees canonical coordinates), curve points have y != 0
+  (prime-order group, no 2-torsion), and the infinity case substitutes R.
+- Forward and backward recompute d from identical inputs with identical
+  ops, so the chain values match bitwise.
+- Outputs are swept balanced limbs (NOT dense-packed): the scan kernel's
+  ``limbs_skip`` mode consumes them directly, avoiding an in-kernel
+  canonicalization of the compressed points.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from msm_tpu.ops.pallas_curve import _make_field_ops, _sweep_cols
+from msm_tpu.ops.pallas_scan import _unpack_dense, coord_words
+from msm_tpu.params import MsmConfig
+from msm_tpu.utils.limbs import int_to_limbs
+
+DEFAULT_TILE = 1024
+
+
+def _ripple_eq_p(a: jax.Array, b: jax.Array, q64, w: int, mask: int):
+    """[1, T] boolean: value(a) + value(b) == p for CANONICAL limb rows
+    a, b ([L, T]). Ripple the sum once (carries in {0, 1}) and compare
+    against the static modulus limbs."""
+    L = a.shape[0]
+    carry = jnp.zeros_like(a[0:1])
+    ok = None
+    for j in range(L):
+        v = a[j : j + 1] + b[j : j + 1] + carry
+        e = (v & mask) == int(q64[j])
+        ok = e if ok is None else (ok & e)
+        carry = v >> w
+    return ok & (carry == 0)
+
+
+def _pair_predicates(cfg: MsmConfig, x1, y1, s1, x2, y2, s2):
+    """(same_x, doubling, inf) for canonical coords + 0/1 sign rows.
+
+    e1 == e2  <=> x1==x2 and (s1==s2 ? y1==y2 : y1+y2==p)
+    e1 == -e2 <=> x1==x2 and (s1!=s2 ? y1==y2 : y1+y2==p)
+    """
+    w, mask = cfg.word_size, cfg.mask
+    q64 = int_to_limbs(cfg.curve.modulus, w, cfg.num_words).astype(np.int64)
+    same_x = jnp.all(x1 == x2, axis=0, keepdims=True)
+    same_y = jnp.all(y1 == y2, axis=0, keepdims=True)
+    ysum_p = _ripple_eq_p(y1, y2, q64, w, mask)
+    same_s = s1 == s2
+    dbl = same_x & jnp.where(same_s, same_y, ysum_p)
+    inf = same_x & jnp.where(same_s, ysum_p, same_y)
+    return same_x, dbl, inf
+
+
+def _signed_y(y, s, qb):
+    """Canonical y [L, T], sign row s [1, T] (0/1) -> y' = s ? p - y : y
+    (balanced; negative limbs allowed)."""
+    return jnp.where(s != 0, qb - y, y)
+
+
+@functools.lru_cache(maxsize=None)
+def make_pair_forward(
+    cfg: MsmConfig, Cp: int, R: int, tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+):
+    """Forward chain: gxy [2*Cp, 2D, R] dense + sg [2*Cp, 1, R] ->
+    m [Cp, L, R] (inclusive running products of d per lane)."""
+    tile = min(tile, R)
+    L, D = cfg.num_words, coord_words(cfg)
+    q_np = int_to_limbs(cfg.curve.modulus, cfg.word_size, L).astype(
+        np.int32
+    )[:, None]
+    rm_np = int_to_limbs(cfg.r, cfg.word_size, L).astype(np.int32)[:, None]
+
+    def kernel(q, rm, g1, g2, s1, s2, om, run, mont_acc):
+        c = pl.program_id(1)
+        _, _, f_mul, _, _ = _make_field_ops(cfg, q[:], mont_acc)
+
+        @pl.when(c == 0)
+        def _():
+            run[:] = rm[:] + jnp.zeros_like(run)
+
+        qb = q[:] + jnp.zeros((L, tile), jnp.int32)
+        x1, y1 = _unpack_dense(g1[0][:D], cfg), _unpack_dense(g1[0][D:], cfg)
+        x2, y2 = _unpack_dense(g2[0][:D], cfg), _unpack_dense(g2[0][D:], cfg)
+        d = _pair_denominator(cfg, q, rm, x1, y1, s1[0], x2, y2, s2[0], qb)
+        m = f_mul(run[:], d)
+        run[:] = m
+        om[0] = m
+
+    def forward(gxy, sg):
+        assert gxy.shape == (2 * Cp, 2 * D, R), gxy.shape
+        assert sg.shape == (2 * Cp, 1, R), sg.shape
+        assert R % tile == 0
+        grid = (R // tile, Cp)
+        gspec1 = pl.BlockSpec(
+            (1, 2 * D, tile), lambda r, c: (2 * c, 0, r),
+            memory_space=pltpu.VMEM,
+        )
+        gspec2 = pl.BlockSpec(
+            (1, 2 * D, tile), lambda r, c: (2 * c + 1, 0, r),
+            memory_space=pltpu.VMEM,
+        )
+        sspec1 = pl.BlockSpec(
+            (1, 1, tile), lambda r, c: (2 * c, 0, r), memory_space=pltpu.VMEM
+        )
+        sspec2 = pl.BlockSpec(
+            (1, 1, tile), lambda r, c: (2 * c + 1, 0, r),
+            memory_space=pltpu.VMEM,
+        )
+        cspec = pl.BlockSpec((L, 1), lambda r, c: (0, 0), memory_space=pltpu.VMEM)
+        outspec = pl.BlockSpec(
+            (1, L, tile), lambda r, c: (c, 0, r), memory_space=pltpu.VMEM
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[cspec, cspec, gspec1, gspec2, sspec1, sspec2],
+            out_specs=outspec,
+            out_shape=jax.ShapeDtypeStruct((Cp, L, R), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((L, tile), jnp.int32),
+                pltpu.VMEM((2 * L + 1, tile), jnp.int32),
+            ],
+            interpret=interpret,
+        )(jnp.asarray(q_np), jnp.asarray(rm_np), gxy, gxy, sg, sg)
+
+    return forward
+
+
+def _pair_denominator(cfg, q, rm, x1, y1, s1, x2, y2, s2, qb):
+    """Shared d computation (MUST be bit-identical between passes)."""
+    w, mask = cfg.word_size, cfg.mask
+    same_x, dbl, inf = _pair_predicates(cfg, x1, y1, s1, x2, y2, s2)
+    y1p = _signed_y(y1, s1, qb)
+    d_add = _sweep_cols(x2 - x1, w, mask)
+    d_dbl = _sweep_cols(y1p + y1p, w, mask)
+    d = jnp.where(dbl, d_dbl, d_add)
+    rmb = rm[:] + jnp.zeros_like(d)
+    return jnp.where(inf, rmb, d)
+
+
+@functools.lru_cache(maxsize=None)
+def make_pair_backward(
+    cfg: MsmConfig, Cp: int, R: int, tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+):
+    """Backward emit (reverse grid): recompute d/num, lam = num * m_{c-1} *
+    invrun, emit (x3, y3, inf); invrun *= d.
+
+    Inputs: gxy/sg as in forward, m_prev [Cp, L, R] (m shifted down one:
+    row c holds m_{c-1}, row 0 holds mont-one), minv [L, R] = inv(m_last).
+    Outputs: cx, cy [Cp, L, R] swept balanced limbs, inf [Cp, 1, R] int32.
+    """
+    tile = min(tile, R)
+    L, D = cfg.num_words, coord_words(cfg)
+    w, mask = cfg.word_size, cfg.mask
+    q_np = int_to_limbs(cfg.curve.modulus, w, L).astype(np.int32)[:, None]
+    rm_np = int_to_limbs(cfg.r, w, L).astype(np.int32)[:, None]
+
+    def kernel(
+        q, rm, g1, g2, s1, s2, mprev, minv, ox, oy, oinf, run, mont_acc
+    ):
+        c = pl.program_id(1)
+        f_add, f_sub, f_mul, f_add_raw, _ = _make_field_ops(
+            cfg, q[:], mont_acc
+        )
+
+        @pl.when(c == 0)  # first grid step = LAST pair (reverse index map)
+        def _():
+            run[:] = minv[:]
+
+        qb = q[:] + jnp.zeros((L, tile), jnp.int32)
+        x1, y1 = _unpack_dense(g1[0][:D], cfg), _unpack_dense(g1[0][D:], cfg)
+        x2, y2 = _unpack_dense(g2[0][:D], cfg), _unpack_dense(g2[0][D:], cfg)
+        same_x, dbl, inf = _pair_predicates(
+            cfg, x1, y1, s1[0], x2, y2, s2[0]
+        )
+        y1p = _signed_y(y1, s1[0], qb)
+        y2p = _signed_y(y2, s2[0], qb)
+        d = _pair_denominator(
+            cfg, q, rm, x1, y1, s1[0], x2, y2, s2[0], qb
+        )
+        x1sq = f_mul(x1, x1)
+        num_dbl = f_add(f_add_raw(x1sq, x1sq), x1sq)  # 3*x1^2
+        num_add = _sweep_cols(y2p - y1p, w, mask)
+        num = jnp.where(dbl, num_dbl, num_add)
+        inv_d = f_mul(mprev[0], run[:])
+        lam = f_mul(num, inv_d)
+        x3 = f_sub(f_sub(f_mul(lam, lam), x1), x2)
+        y3 = f_sub(f_mul(lam, f_sub(x1, x3)), y1p)
+        run[:] = f_mul(run[:], d)
+        ox[0] = x3
+        oy[0] = y3
+        oinf[0] = inf.astype(jnp.int32)
+
+    def backward(gxy, sg, m_prev, minv):
+        assert gxy.shape == (2 * Cp, 2 * D, R), gxy.shape
+        assert m_prev.shape == (Cp, L, R), m_prev.shape
+        assert minv.shape == (L, R), minv.shape
+        assert R % tile == 0
+        grid = (R // tile, Cp)
+        rev = lambda c: Cp - 1 - c
+        gspec1 = pl.BlockSpec(
+            (1, 2 * D, tile), lambda r, c: (2 * rev(c), 0, r),
+            memory_space=pltpu.VMEM,
+        )
+        gspec2 = pl.BlockSpec(
+            (1, 2 * D, tile), lambda r, c: (2 * rev(c) + 1, 0, r),
+            memory_space=pltpu.VMEM,
+        )
+        sspec1 = pl.BlockSpec(
+            (1, 1, tile), lambda r, c: (2 * rev(c), 0, r),
+            memory_space=pltpu.VMEM,
+        )
+        sspec2 = pl.BlockSpec(
+            (1, 1, tile), lambda r, c: (2 * rev(c) + 1, 0, r),
+            memory_space=pltpu.VMEM,
+        )
+        mspec = pl.BlockSpec(
+            (1, L, tile), lambda r, c: (rev(c), 0, r), memory_space=pltpu.VMEM
+        )
+        vspec = pl.BlockSpec(
+            (L, tile), lambda r, c: (0, r), memory_space=pltpu.VMEM
+        )
+        cspec = pl.BlockSpec((L, 1), lambda r, c: (0, 0), memory_space=pltpu.VMEM)
+        ospec = pl.BlockSpec(
+            (1, L, tile), lambda r, c: (rev(c), 0, r), memory_space=pltpu.VMEM
+        )
+        ispec = pl.BlockSpec(
+            (1, 1, tile), lambda r, c: (rev(c), 0, r), memory_space=pltpu.VMEM
+        )
+        shp = jax.ShapeDtypeStruct((Cp, L, R), jnp.int32)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                cspec, cspec, gspec1, gspec2, sspec1, sspec2, mspec, vspec,
+            ],
+            out_specs=(ospec, ospec, ispec),
+            out_shape=(shp, shp, jax.ShapeDtypeStruct((Cp, 1, R), jnp.int32)),
+            scratch_shapes=[
+                pltpu.VMEM((L, tile), jnp.int32),
+                pltpu.VMEM((2 * L + 1, tile), jnp.int32),
+            ],
+            interpret=interpret,
+        )(
+            jnp.asarray(q_np), jnp.asarray(rm_np), gxy, gxy, sg, sg,
+            m_prev, minv,
+        )
+
+    return backward
+
+
+def compress_pairs(
+    cfg: MsmConfig,
+    gxy: jax.Array,
+    sg: jax.Array,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Compress the sorted dense stream gxy [C, 2D, R] + signs [C, 1, R]
+    (C even) into (cx, cy, inf): [C/2, L, R] balanced affine pair sums +
+    [C/2, 1, R] infinity flags. See module docstring for the 3 passes."""
+    from msm_tpu.ops.field import get_field_ctx
+
+    C, _, R = gxy.shape
+    assert C % 2 == 0, C
+    Cp = C // 2
+    L = cfg.num_words
+    m = make_pair_forward(cfg, Cp, R, interpret=interpret)(gxy, sg)
+    f = get_field_ctx(cfg)
+    # Fermat inversion of the final products, batched over lanes ([R, L])
+    minv = f.mont_pow(m[-1].T, cfg.curve.modulus - 2).T
+    one_row = jnp.broadcast_to(
+        jnp.asarray(
+            int_to_limbs(cfg.r, cfg.word_size, L).astype(np.int64), jnp.int32
+        )[:, None],
+        (1, L, R),
+    )
+    m_prev = jnp.concatenate([one_row, m[:-1]], axis=0)
+    return make_pair_backward(cfg, Cp, R, interpret=interpret)(
+        gxy, sg, m_prev, minv.astype(jnp.int32)
+    )

@@ -4,9 +4,12 @@ The reference's stage-1 per-point work (``decompose_scalars.template.wgsl:
 41-70``): repack 16-bit coordinate words into word_size-bit limbs and convert
 to Montgomery form (one field mul by R^2). The XLA version costs ~96 ms at
 2^20 (two 20-step mont_mul scans round-tripping HBM); this kernel fuses
-word-extraction + the constant multiply + 16-bit re-packing into one pass
-and emits the scan kernel's packed wire format [n, 2P] directly — the
-unpacked PointBatch never materializes on the fused path.
+word-extraction + the constant multiply + canonicalization + dense 32-bit
+re-packing into one pass and emits the scan kernel's dense wire format
+[n, 2D] (pallas_scan.coord_words) directly — the unpacked PointBatch never
+materializes on the fused path. Canonicalizing here (a ~200-row-op ripple
++ conditional subtract, once per point) is what lets the gather rows drop
+from 80 B to 64 B: dense radix-2^32 packing needs standard nonneg limbs.
 """
 
 from __future__ import annotations
@@ -45,14 +48,49 @@ def _extract_limbs(wordsT: jax.Array, w: int, L: int, mask: int) -> jax.Array:
     return jnp.concatenate(rows, axis=0)
 
 
-def _pack_rows(x: jax.Array) -> jax.Array:
-    """[L, tile] nonneg balanced limbs -> [P, tile] 16-bit packed.
-    (reshape-based row pairing — strided sublane slices don't lower)."""
-    L, T = x.shape
-    if L % 2:
-        x = jnp.concatenate([x, jnp.zeros_like(x[0:1])], axis=0)
-    xr = x.reshape((L + 1) // 2, 2, T)
-    return xr[:, 0, :] | (xr[:, 1, :] << 16)
+def _canonical_rows(x: jax.Array, cfg: MsmConfig) -> jax.Array:
+    """[L, tile] nonneg balanced limbs (value < 2p) -> canonical standard
+    limbs of (value mod p), rows-first, in-kernel.
+
+    Ripple-carry normalization (value < 2p < 2^(wL), so the final carry is
+    0) followed by ONE conditional subtract of p (sufficient: the convert
+    product is < ab/R + p + eps with a, b < p and R >= 64p, i.e. < 2p).
+    Modulus limbs are baked in as static scalars."""
+    w, L = cfg.word_size, cfg.num_words
+    mask = (1 << w) - 1
+    q = int_to_limbs(cfg.curve.modulus, w, L).astype(np.int64)
+    carry = jnp.zeros_like(x[0:1])
+    std = []
+    for j in range(L):
+        v = x[j : j + 1] + carry
+        std.append(v & mask)
+        carry = v >> w
+    # t = value - p with borrow ripple; keep t iff no final borrow
+    borrow = jnp.zeros_like(x[0:1])
+    sub = []
+    for j in range(L):
+        t = std[j] - int(q[j]) - borrow
+        sub.append(t & mask)
+        borrow = (t >> w) & 1
+    ge_p = borrow == 0
+    rows = [jnp.where(ge_p, sub[j], std[j]) for j in range(L)]
+    return jnp.concatenate(rows, axis=0)
+
+
+def _pack_rows_dense(x: jax.Array, cfg: MsmConfig) -> jax.Array:
+    """[L, tile] CANONICAL standard limbs -> [D, tile] dense radix-2^32
+    words (pallas_scan wire format; see pallas_scan._pack_plan)."""
+    from msm_tpu.ops.pallas_scan import _pack_plan, coord_words
+
+    w, L, D = cfg.word_size, cfg.num_words, coord_words(cfg)
+    words = []
+    for contrib in _pack_plan(w, L, D):
+        v = None
+        for j, s in contrib:
+            t = x[j : j + 1] << s if s >= 0 else x[j : j + 1] >> (-s)
+            v = t if v is None else v | t
+        words.append(v if v is not None else jnp.zeros_like(x[0:1]))
+    return jnp.concatenate(words, axis=0)
 
 
 @functools.lru_cache(maxsize=None)
@@ -63,15 +101,18 @@ def make_convert_pack(
     x_scale_int: int | None = None,
 ):
     """Build the fused converter: (x_u16 [n, Wu], y_u16 [n, Wu]) ->
-    packed [n, 2P] Montgomery-form coordinates (pallas_scan wire format).
+    dense-packed [n, 2D] canonical Montgomery-form coordinates
+    (pallas_scan wire format, coord_words).
 
     ``x_scale_int`` overrides the to-Montgomery constant for x (default
     R^2, i.e. x -> x*R). The GLV phi-table build passes beta*R^2: the
     endomorphism phi(x, y) = (beta*x, y) and the Montgomery conversion
     become the SAME single multiply (mont_mul(x, beta*R^2) = beta*x*R)."""
+    from msm_tpu.ops.pallas_scan import coord_words
+
     L = cfg.num_words
     w, mask = cfg.word_size, cfg.mask
-    P = (L + 1) // 2
+    D = coord_words(cfg)
     assert tile % 8 == 0, tile
     Wu = (max(cfg.curve.modulus_bits, 16) + 15) // 16
     q_np = int_to_limbs(cfg.curve.modulus, w, L).astype(np.int32)[:, None]
@@ -87,8 +128,9 @@ def make_convert_pack(
         cols = []
         for ref, scale in ((xr, xscb), (yr, r2b)):
             limbs = _extract_limbs(ref[:].T, w, L, mask)
-            cols.append(_pack_rows(f_mul(limbs, scale)))
-        out[:] = jnp.concatenate(cols, axis=0).T  # [tile, 2P]
+            mont = _canonical_rows(f_mul(limbs, scale), cfg)
+            cols.append(_pack_rows_dense(mont, cfg))
+        out[:] = jnp.concatenate(cols, axis=0).T  # [tile, 2D]
 
     def convert_pack(x_u16, y_u16):
         n = x_u16.shape[0]
@@ -99,7 +141,7 @@ def make_convert_pack(
             (tile, Wu), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
         outspec = pl.BlockSpec(
-            (tile, 2 * P), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (tile, 2 * D), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
         cspec = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
         return pl.pallas_call(
@@ -107,7 +149,7 @@ def make_convert_pack(
             grid=grid,
             in_specs=[cspec, cspec, cspec, inspec, inspec],
             out_specs=outspec,
-            out_shape=jax.ShapeDtypeStruct((n, 2 * P), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((n, 2 * D), jnp.int32),
             scratch_shapes=[pltpu.VMEM((2 * L + 1, tile), jnp.int32)],
             interpret=interpret,
         )(

@@ -14,12 +14,14 @@ program:
   15 for the projective Algorithm 7. Alg 8 is complete for any P1 (incl.
   identity) as long as P2 is finite, which sorted real points always are
   (padding uses the generator, reference msm.rs:63-69);
-- coordinates stream in **16-bit packed** form — two word_size-bit limbs per
-  int32 lane (balanced limbs are nonneg and < 2^13+2^5 < 2^16, so no
-  canonicalization is needed) — halving both the random-gather traffic of
-  the sort permutation and the kernel's input DMA. Packing happens ONCE per
-  MSM (models pack before the 16-subtask loop); unpacking is two shift/mask
-  ops per limb pair inside the kernel;
+- coordinates stream in **dense-packed canonical** form — the canonical
+  value bit-packed at radix 2^32 (coord_words: BN254 = 8 int32/coord,
+  64 B/point row vs 80 B for the earlier 16-bit pair packing) — cutting
+  the random-gather traffic of the sort permutation and the kernel's
+  input DMA by 20%, and aligning rows 8-per-(8,128)-tile with no tile
+  straddling. Canonicalization + packing happen ONCE per MSM inside the
+  convert kernel (or pack_coords on the XLA path); unpacking is at most
+  two shifts + mask per limb inside the kernel;
 - per-element signs (the signed-bucket negation, an int32 0/1 array gathered
   by the same permutation) are applied to y in-kernel.
 
@@ -46,29 +48,87 @@ from msm_tpu.utils.limbs import int_to_limbs
 DEFAULT_TILE = 1024
 
 
-def packed_width(L: int) -> int:
-    return (L + 1) // 2
+def coord_words(cfg: MsmConfig) -> int:
+    """int32 words per DENSE-packed canonical coordinate: the gather wire
+    format is the canonical value bit-packed at radix 2^32 (BN254: 8 words
+    = 64 B/point row vs 10 words of the earlier 16-bit pair packing —
+    gather rows align 8-per-(8,128)-tile with no tile straddling)."""
+    return (cfg.curve.modulus_bits + 31) // 32
 
 
-def pack_coords(x: jax.Array) -> jax.Array:
-    """[..., L] nonneg balanced limbs (< 2^16 each) -> [..., ceil(L/2)]
-    int32 with limb 2i in bits 0..15 and limb 2i+1 in bits 16..31."""
-    L = x.shape[-1]
-    if L % 2:
-        x = jnp.concatenate(
-            [x, jnp.zeros(x.shape[:-1] + (1,), x.dtype)], axis=-1
-        )
-    lo = x[..., 0::2]
-    hi = x[..., 1::2]
-    return lo | (hi << 16)
+def _pack_plan(w: int, L: int, D: int) -> list[list[tuple[int, int]]]:
+    """Static bit plan: plan[k] lists (limb j, shift) whose
+    ``limb_j << shift`` (``>> -shift`` when negative) contributes bits to
+    dense word k. Limb bit-ranges are disjoint, so contributions OR."""
+    plan: list[list[tuple[int, int]]] = [[] for _ in range(D)]
+    for j in range(L):
+        lo, hi = w * j, w * j + w
+        for k in range(lo // 32, min((hi + 31) // 32, D)):
+            plan[k].append((j, lo - 32 * k))
+    return plan
 
 
-def _unpack_cols(p: jax.Array, L: int) -> jax.Array:
-    """[P, T] packed -> [L, T] limbs (sign-extending 16-bit fields)."""
-    lo = (p << 16) >> 16  # arithmetic: sign-extend low half
-    hi = p >> 16
-    full = jnp.stack([lo, hi], axis=1).reshape(2 * p.shape[0], p.shape[1])
-    return full[:L]
+def pack_coords(x: jax.Array, cfg: MsmConfig) -> jax.Array:
+    """[..., L] balanced limbs -> [..., D] dense int32 words (canonical
+    value at radix 2^32). Canonicalizes first (FieldCtx.canonical), so the
+    packed fields are plain nonneg bit ranges the scan kernel can unpack
+    with two shifts per limb."""
+    from msm_tpu.ops.field import get_field_ctx
+
+    w, L, D = cfg.word_size, cfg.num_words, coord_words(cfg)
+    assert x.shape[-1] == L, (x.shape, L)
+    c = get_field_ctx(cfg).canonical(x)
+    words = []
+    for contrib in _pack_plan(w, L, D):
+        v = None
+        for j, s in contrib:
+            t = c[..., j] << s if s >= 0 else c[..., j] >> (-s)
+            v = t if v is None else v | t
+        words.append(v if v is not None else jnp.zeros_like(c[..., 0]))
+    return jnp.stack(words, axis=-1)
+
+
+def _unpack_dense(p: jax.Array, cfg: MsmConfig) -> jax.Array:
+    """[D, T] dense canonical words -> [L, T] standard w-bit limbs
+    (rows-first, in-kernel). Logical-shift semantics are recovered from
+    int32 arithmetic shifts by masking the sign-extension bits."""
+    w, L, D = cfg.word_size, cfg.num_words, coord_words(cfg)
+    mask = (1 << w) - 1
+    rows = []
+    for j in range(L):
+        lo = w * j
+        k, s = divmod(lo, 32)
+        if k >= D:
+            rows.append(jnp.zeros_like(p[0:1]))
+            continue
+        v = p[k : k + 1]
+        if s:
+            v = (v >> s) & ((1 << (32 - s)) - 1)  # logical >>
+        if s + w > 32 and k + 1 < D:
+            v = v | (p[k + 1 : k + 2] << (32 - s))
+        rows.append(v & mask)
+    return jnp.concatenate(rows, axis=0)
+
+
+def unpack_coords(p: jax.Array, cfg: MsmConfig) -> jax.Array:
+    """[..., D] dense canonical words -> [..., L] standard w-bit limbs
+    (XLA last-axis mirror of the in-kernel _unpack_dense; used for the
+    odd-boundary single-element correction of the compressed path)."""
+    w, L, D = cfg.word_size, cfg.num_words, coord_words(cfg)
+    mask = (1 << w) - 1
+    cols = []
+    for j in range(L):
+        k, s = divmod(w * j, 32)
+        if k >= D:
+            cols.append(jnp.zeros_like(p[..., 0]))
+            continue
+        v = p[..., k]
+        if s:
+            v = (v >> s) & ((1 << (32 - s)) - 1)
+        if s + w > 32 and k + 1 < D:
+            v = v | (p[..., k + 1] << (32 - s))
+        cols.append(v & mask)
+    return jnp.stack(cols, axis=-1)
 
 
 def _rcb16_madd(cfg: MsmConfig):
@@ -112,15 +172,15 @@ def make_scan_rows(
 ):
     """Build the fused row scan.
 
-    Takes bucket-sorted affine points as one packed [C, R, 2P] array
-    (x packed in cols 0..P-1, y in cols P..2P-1; element (c, r) is the c-th
+    Takes bucket-sorted affine points as one dense-packed [C, 2D, R] array
+    (x in word rows 0..D-1, y in rows D..2D-1; element (c, r) is the c-th
     point of lane r) plus int32 signs [C, R] (1 -> negate y); returns the
     inclusive point-prefix per lane as three [C, R, L] arrays (Montgomery
     projective limbs, balanced encoding).
     """
     tile = min(tile, R)  # small geometries: one tile spans all lanes
     L = cfg.num_words
-    P = packed_width(L)
+    D = coord_words(cfg)
     aux_np = aux_b3_limbs(cfg)
     q_np = int_to_limbs(cfg.curve.modulus, cfg.word_size, L).astype(np.int32)[
         :, None
@@ -138,9 +198,9 @@ def make_scan_rows(
             accy[:] = rm[:] + jnp.zeros_like(accy)
             accz[:] = jnp.zeros_like(accz)
 
-        packed = pxy[0]  # [2P, tile] — coords-first, no transpose needed
-        x2 = _unpack_cols(packed[:P], L)
-        y2 = _unpack_cols(packed[P:], L)
+        packed = pxy[0]  # [2D, tile] — coords-first, no transpose needed
+        x2 = _unpack_dense(packed[:D], cfg)
+        y2 = _unpack_dense(packed[D:], cfg)
         y2 = jnp.where(sg[0] != 0, -y2, y2)  # sg[0]: [1, tile]
         x3, y3, z3 = madd(
             q[:], b3m[:], mont_acc, accx[:], accy[:], accz[:], x2, y2
@@ -153,17 +213,17 @@ def make_scan_rows(
         oz[0] = z3
 
     def scan_rows(pxy, signs):
-        """pxy: [C, 2P, R] coords-second-minor (lane dim R matches the
+        """pxy: [C, 2D, R] coords-second-minor (lane dim R matches the
         hardware tiling, so neither the gathered input nor the [C, L, R]
         prefix outputs need an XLA layout copy — measured ~70 ms of pure
         data-formatting at 2^20 with the old [C, R, 2P]/[C, R, L] shapes);
         signs: [C, 1, R]."""
-        assert pxy.shape == (C, 2 * P, R), (pxy.shape, (C, 2 * P, R))
+        assert pxy.shape == (C, 2 * D, R), (pxy.shape, (C, 2 * D, R))
         assert signs.shape == (C, 1, R), signs.shape
         assert R % tile == 0, (R, tile)
         grid = (R // tile, C)
         inspec = pl.BlockSpec(
-            (1, 2 * P, tile), lambda r, c: (c, 0, r), memory_space=pltpu.VMEM
+            (1, 2 * D, tile), lambda r, c: (c, 0, r), memory_space=pltpu.VMEM
         )
         sgspec = pl.BlockSpec(
             (1, 1, tile), lambda r, c: (c, 0, r), memory_space=pltpu.VMEM
@@ -194,6 +254,101 @@ def make_scan_rows(
             jnp.asarray(rm_np),
             pxy,
             signs,
+        )
+
+    return scan_rows
+
+
+@functools.lru_cache(maxsize=None)
+def make_scan_rows_limbs(
+    cfg: MsmConfig,
+    C: int,
+    R: int,
+    tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+):
+    """Compressed-pair variant of the fused row scan: consumes UNPACKED
+    swept balanced limbs (the pair-compression kernels' output,
+    ops/pallas_compress.py) plus a skip flag instead of dense coords plus
+    a sign — skip rows (infinity pair sums, P + (-P)) leave the
+    accumulator unchanged, which keeps the compressed prefix an exact
+    prefix of the source stream.
+
+    Inputs: cx, cy [C, L, R]; skip [C, 1, R] int32 (nonzero -> pass
+    through). Returns the same three [C, L, R] inclusive prefixes as
+    make_scan_rows."""
+    tile = min(tile, R)
+    L = cfg.num_words
+    aux_np = aux_b3_limbs(cfg)
+    q_np = int_to_limbs(cfg.curve.modulus, cfg.word_size, L).astype(np.int32)[
+        :, None
+    ]
+    rm_np = int_to_limbs(cfg.r, cfg.word_size, L).astype(np.int32)[:, None]
+    madd = _rcb16_madd(cfg)
+
+    def kernel(
+        q, b3m, rm, cx, cy, sk, ox, oy, oz, accx, accy, accz, mont_acc
+    ):
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _():
+            accx[:] = jnp.zeros_like(accx)
+            accy[:] = rm[:] + jnp.zeros_like(accy)
+            accz[:] = jnp.zeros_like(accz)
+
+        x3, y3, z3 = madd(
+            q[:], b3m[:], mont_acc, accx[:], accy[:], accz[:], cx[0], cy[0]
+        )
+        keep = sk[0] != 0  # [1, tile]
+        x3 = jnp.where(keep, accx[:], x3)
+        y3 = jnp.where(keep, accy[:], y3)
+        z3 = jnp.where(keep, accz[:], z3)
+        accx[:] = x3
+        accy[:] = y3
+        accz[:] = z3
+        ox[0] = x3
+        oy[0] = y3
+        oz[0] = z3
+
+    def scan_rows(cx, cy, skip):
+        assert cx.shape == (C, L, R), cx.shape
+        assert skip.shape == (C, 1, R), skip.shape
+        assert R % tile == 0, (R, tile)
+        grid = (R // tile, C)
+        inspec = pl.BlockSpec(
+            (1, L, tile), lambda r, c: (c, 0, r), memory_space=pltpu.VMEM
+        )
+        skspec = pl.BlockSpec(
+            (1, 1, tile), lambda r, c: (c, 0, r), memory_space=pltpu.VMEM
+        )
+        outspec = pl.BlockSpec(
+            (1, L, tile), lambda r, c: (c, 0, r), memory_space=pltpu.VMEM
+        )
+        cspec = pl.BlockSpec(
+            (L, 1), lambda r, c: (0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((C, L, R), jnp.int32)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[cspec, cspec, cspec, inspec, inspec, skspec],
+            out_specs=(outspec, outspec, outspec),
+            out_shape=(out_shape, out_shape, out_shape),
+            scratch_shapes=[
+                pltpu.VMEM((L, tile), jnp.int32),
+                pltpu.VMEM((L, tile), jnp.int32),
+                pltpu.VMEM((L, tile), jnp.int32),
+                pltpu.VMEM((2 * L + 1, tile), jnp.int32),
+            ],
+            interpret=interpret,
+        )(
+            jnp.asarray(q_np),
+            jnp.asarray(aux_np),
+            jnp.asarray(rm_np),
+            cx,
+            cy,
+            skip,
         )
 
     return scan_rows

@@ -182,8 +182,8 @@ def bucket_accumulate(
     ``affine=True`` asserts every z == 1 (Montgomery R) — true for freshly
     converted input points — enabling the fused mixed-add scan kernel on
     TPU (z never gathered, 13 instead of 15 muls per scan step).
-    ``packed``: optional pre-packed [n, 2P] coordinate array (see
-    pallas_scan.pack_coords) — pass it when calling per-subtask so the
+    ``packed``: optional pre-packed [n, 2D] dense canonical coordinate
+    array (pallas_scan.pack_coords) — pass it when calling per-subtask so the
     packing cost is paid once per MSM, not once per subtask.
     Returns buckets [num_buckets] with bucket_b = sum_{keys==b} ±P_i.
     """
@@ -231,14 +231,120 @@ def bucket_boundary_prefix(
     sorted_keys, pv = jax.lax.sort(
         (keys, payload), is_stable=False, num_keys=1
     )
+    ends = _counts_leq(keys, num_buckets)
+    R = num_rows
+    if (
+        ec.cfg.compress
+        and affine
+        and packed is not None
+        and fused_scan_available(n, R)
+        and (n // R) % 2 == 0
+    ):
+        return _boundary_prefix_compressed(
+            ec, packed, pv, sbit if signs is not None else None, R, ends
+        )
     row_prefix, offsets, limbs_first = _sorted_prefix(
         ec, pts, pv, sbit if signs is not None else None, num_rows,
         affine=affine, packed=packed,
     )
-    ends = _counts_leq(keys, num_buckets)
     return prefix_at(
         ec, row_prefix, offsets, ends - 1, limbs_first=limbs_first
     )
+
+
+def _boundary_prefix_compressed(
+    ec: CurveCtx,
+    packed: jax.Array,
+    pv: jax.Array,
+    sbit: int | None,
+    R: int,
+    ends: jax.Array,
+) -> PointBatch:
+    """Boundary prefixes via batched-affine pair compression
+    (ops/pallas_compress.py): adjacent sorted pairs are pre-added with
+    ~3.5 muls/point, the madd scan runs over n/2 compressed rows, and
+    bucket boundaries that fall INSIDE a pair (odd within-lane offset) are
+    fixed up with one gathered single-element add per bucket:
+
+        pe[b] = offsets[r] + pair_prefix[(c-1)//2, r]
+                + (c even ? element at sorted position i : identity)
+
+    with i = ends[b]-1, r = i // C, c = i % C (lane r owns the contiguous
+    sorted range [r*C, (r+1)*C))."""
+    import numpy as np
+
+    from msm_tpu.ops.pallas_compress import compress_pairs
+    from msm_tpu.ops.pallas_prefix import make_row_offsets
+    from msm_tpu.ops.pallas_scan import (
+        coord_words,
+        make_scan_rows_limbs,
+        unpack_coords,
+    )
+    from msm_tpu.utils.limbs import int_to_limbs
+
+    cfg = ec.cfg
+    n = pv.shape[0]
+    C = n // R
+    Cp = C // 2
+    D = coord_words(cfg)
+    interp = pallas_interpret()
+    pv2 = pv.reshape(R, C).swapaxes(0, 1).reshape(n)
+    if sbit is not None:
+        perm2 = pv2 & ((1 << sbit) - 1)
+        sgv = pv2 >> sbit
+    else:
+        perm2 = pv2
+        sgv = jnp.zeros((n,), jnp.int32)
+    g = packed[perm2]  # [n, 2D] — the ONLY per-subtask gather
+    gxy = g.reshape(C, R, 2 * D).swapaxes(1, 2)
+    sg3 = sgv.reshape(C, 1, R)
+    cx, cy, inf = compress_pairs(cfg, gxy, sg3, interpret=interp)
+    rx, ry, rz = make_scan_rows_limbs(cfg, Cp, R, interpret=interp)(
+        cx, cy, inf
+    )
+    ox, oy, oz = make_row_offsets(cfg, R, interpret=interp)(
+        rx[-1], ry[-1], rz[-1]
+    )
+    offsets = PointBatch(ox, oy, oz)
+
+    # --- extraction with odd-boundary correction --------------------------
+    i = ends - 1
+    valid = i >= 0
+    ic = jnp.maximum(i, 0)
+    r = ic // C
+    c = ic % C
+    jc = (c - 1) // 2  # last full pair covering [r*C, i]; -1 if none
+    pairs_valid = valid & (jc >= 0)
+    jcc = jnp.maximum(jc, 0)
+    rp = PointBatch(rx[jcc, :, r], ry[jcc, :, r], rz[jcc, :, r])
+    ident = ec.identity(ends.shape)
+    rp = point_where(pairs_valid, rp, ident)
+    base = ec.add(gather_points(offsets, r), rp)
+
+    need_s = valid & (c % 2 == 0)
+    sel = c * R + r  # step-major flat index of element i
+    srow = g[sel]  # [B, 2D]
+    x_l = unpack_coords(srow[:, :D], cfg)
+    y_l = unpack_coords(srow[:, D:], cfg)
+    q_limbs = jnp.asarray(
+        int_to_limbs(cfg.curve.modulus, cfg.word_size, cfg.num_words).astype(
+            np.int64
+        ),
+        jnp.int32,
+    )
+    y_l = jnp.where(
+        (sgv[sel] != 0)[:, None], q_limbs[None, :] - y_l, y_l
+    )
+    rm = jnp.asarray(
+        int_to_limbs(cfg.r, cfg.word_size, cfg.num_words).astype(np.int64),
+        jnp.int32,
+    )
+    elem = PointBatch(
+        x_l, y_l, jnp.broadcast_to(rm[None, :], x_l.shape)
+    )
+    elem = point_where(need_s, elem, ident)
+    pe = ec.add(base, elem)
+    return point_where(valid, pe, ident)
 
 
 def window_sum_from_pe(ec: CurveCtx, pe: PointBatch) -> PointBatch:
@@ -370,7 +476,8 @@ def _sorted_prefix(
     C = n // R
     if packed is None:
         packed = jnp.concatenate(
-            [pack_coords(pts.x), pack_coords(pts.y)], axis=-1
+            [pack_coords(pts.x, ec.cfg), pack_coords(pts.y, ec.cfg)],
+            axis=-1,
         )
     # step-major storage (element (c, r) = sorted position r*C + c) is
     # produced by transposing the 4 MB payload VECTOR, not the gathered

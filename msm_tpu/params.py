@@ -162,6 +162,10 @@ class MsmConfig:
     chunk_size: int = 16  # scalar window bit-width (msm.rs:79)
     glv: bool = False  # GLV endomorphism split (ops/glv.py): half the
     #                    windows over 2x points; needs curve.a == 0
+    compress: bool = False  # batched-affine pair compression of the sorted
+    #                    stream (ops/pallas_compress.py): ~3.5 muls/point to
+    #                    pre-add adjacent pairs, then the madd scan runs on
+    #                    n/2 rows; kernel path only, needs (n/R) even
 
     # ---- limb geometry -----------------------------------------------------
     @property

@@ -12,7 +12,7 @@ import pytest
 
 from msm_tpu.models import common
 from msm_tpu.ops.curve import PointBatch, get_curve_ctx
-from msm_tpu.ops.pallas_scan import make_scan_rows, pack_coords, packed_width
+from msm_tpu.ops.pallas_scan import coord_words, make_scan_rows, pack_coords
 from msm_tpu.ops.scan import blocked_prefix_scan
 from msm_tpu.oracle.pyecc import Curve
 from msm_tpu.params import BLS12_377, BN254, PALLAS, MsmConfig
@@ -35,7 +35,7 @@ def test_fused_scan_matches_blocked_scan():
     rng = np.random.default_rng(0)
     signs = jnp.asarray(rng.integers(0, 2, size=(n,)), dtype=jnp.int32)
 
-    packed = common.pack_points(pts)
+    packed = common.pack_points(pts, CFG)
     L = CFG.num_words
 
     def arrange(a, w):
@@ -43,7 +43,7 @@ def test_fused_scan_matches_blocked_scan():
 
     scan = make_scan_rows(CFG, C, R, tile=256, interpret=True)
     rx, ry, rz = scan(
-        arrange(packed, 2 * packed_width(L)).swapaxes(1, 2),  # [C, 2P, R]
+        arrange(packed, 2 * coord_words(CFG)).swapaxes(1, 2),  # [C, 2D, R]
         signs.reshape(R, C).swapaxes(0, 1).reshape(C, 1, R),
     )
     got = PointBatch(  # [C, L, R] -> [C, R, L]
@@ -134,16 +134,35 @@ def test_window_sum_telescoping_matches_bpr():
     assert bool(jnp.all(ec.eq(want, got)))
 
 
+def _dense_to_int(row: np.ndarray) -> int:
+    """[D] int32 dense words -> the packed integer (words are raw u32)."""
+    v = 0
+    for k, word in enumerate(row.astype(np.int64) & 0xFFFFFFFF):
+        v |= int(word) << (32 * k)
+    return v
+
+
 def test_pack_roundtrip():
+    """pack_coords canonicalizes then bit-packs at radix 2^32: the packed
+    integer must equal (value mod p) for balanced-limb inputs, including
+    values in [p, 2p) (the conditional-subtract path)."""
+    from msm_tpu.utils.limbs import int_to_limbs
+
+    p = CFG.curve.modulus
     rng = np.random.default_rng(1)
+    vals = [0, 1, p - 1, p + 1, 2 * p - 1] + [
+        int.from_bytes(rng.bytes(32), "little") % (2 * p) for _ in range(27)
+    ]
     x = jnp.asarray(
-        rng.integers(0, (1 << 13) + 40, size=(32, CFG.num_words)), jnp.int32
+        np.stack([
+            int_to_limbs(v, CFG.word_size, CFG.num_words) for v in vals
+        ]).astype(np.int64),
+        jnp.int32,
     )
-    p = pack_coords(x)
-    lo = (p << 16) >> 16
-    hi = p >> 16
-    back = jnp.stack([lo, hi], axis=-1).reshape(32, -1)[:, : CFG.num_words]
-    assert bool(jnp.all(back == x))
+    packed = np.asarray(pack_coords(x, CFG))
+    assert packed.shape == (len(vals), coord_words(CFG))
+    for i, v in enumerate(vals):
+        assert _dense_to_int(packed[i]) == v % p, (i, v)
 
 
 def test_fused_convert_pack_matches_xla():
@@ -165,19 +184,15 @@ def test_fused_convert_pack_matches_xla():
 
     got = np.asarray(make_convert_pack(CFG, tile=128, interpret=True)(xd, yd))
     pts = common.u16_to_mont_points(ec, xd, yd)
-    P = packed_width(CFG.num_words)
+    D = coord_words(CFG)
     p = CFG.curve.modulus
-    f = ec.f
-    # unpack the kernel output and compare VALUES mod p (balanced encodings
-    # may differ between the kernel's and FieldCtx's mont_mul)
-    for col, ref in ((got[:, :P], pts.x), (got[:, P:], pts.y)):
-        lo = (col.astype(np.int64) << 48 >> 48).astype(np.int64)  # sext16
-        hi = col.astype(np.int64) >> 16
-        limbs = np.stack([lo, hi], axis=-1).reshape(n, -1)[:, : CFG.num_words]
+    # the kernel output is CANONICAL dense-packed: compare the packed
+    # integer against the FieldCtx conversion's value mod p
+    for col, ref in ((got[:, :D], pts.x), (got[:, D:], pts.y)):
         for i in range(0, n, 37):
-            va = limbs_to_int(limbs[i], CFG.word_size) % p
+            va = _dense_to_int(col[i])
             vb = limbs_to_int(np.asarray(ref[i]), CFG.word_size) % p
-            assert va == vb, i
+            assert va == vb and va < p, i
 
 
 def test_fused_bpr_matches_xla_reduce():
@@ -242,9 +257,9 @@ def test_fused_scan_other_curves(curve):
     )
     rng = np.random.default_rng(4)
     signs = jnp.asarray(rng.integers(0, 2, size=(n,)), dtype=jnp.int32)
-    packed = common.pack_points(pts)
+    packed = common.pack_points(pts, cfg)
     L = cfg.num_words
-    W = 2 * packed_width(L)
+    W = 2 * coord_words(cfg)
     scan = make_scan_rows(cfg, C, R, tile=256, interpret=True)
     rx, ry, rz = scan(
         packed.reshape(R, C, W).swapaxes(0, 1).swapaxes(1, 2),  # [C, W, R]
