@@ -118,17 +118,18 @@ def prepare_points(
         from msm_tpu.ops.curve import pallas_interpret
 
         tile = min(1024, n)
-        packed = make_convert_pack(
-            cfg, tile=tile, interpret=pallas_interpret()
-        )(x_u16, y_u16)
         if not cfg.glv:
+            packed = make_convert_pack(
+                cfg, tile=tile, interpret=pallas_interpret()
+            )(x_u16, y_u16)
             return None, packed
         from msm_tpu.ops.glv import glv_params
 
+        # one dual-output pass: extraction + the y conversion are shared
         beta_r2 = (glv_params(cfg.curve).beta * cfg.r2) % cfg.curve.modulus
-        phi = make_convert_pack(
+        packed, phi = make_convert_pack(
             cfg, tile=tile, interpret=pallas_interpret(),
-            x_scale_int=beta_r2,
+            dual_x_scale_int=beta_r2,
         )(x_u16, y_u16)
         return None, jnp.concatenate([packed, phi], axis=0)
     pts = u16_to_mont_points(ec, x_u16, y_u16)

@@ -99,6 +99,7 @@ def make_convert_pack(
     tile: int = DEFAULT_TILE,
     interpret: bool = False,
     x_scale_int: int | None = None,
+    dual_x_scale_int: int | None = None,
 ):
     """Build the fused converter: (x_u16 [n, Wu], y_u16 [n, Wu]) ->
     dense-packed [n, 2D] canonical Montgomery-form coordinates
@@ -107,7 +108,13 @@ def make_convert_pack(
     ``x_scale_int`` overrides the to-Montgomery constant for x (default
     R^2, i.e. x -> x*R). The GLV phi-table build passes beta*R^2: the
     endomorphism phi(x, y) = (beta*x, y) and the Montgomery conversion
-    become the SAME single multiply (mont_mul(x, beta*R^2) = beta*x*R)."""
+    become the SAME single multiply (mont_mul(x, beta*R^2) = beta*x*R).
+
+    ``dual_x_scale_int``: emit a SECOND [n, 2D] output whose x is scaled
+    by this constant instead — the GLV (table, phi-table) pair from ONE
+    pass: word extraction, the y conversion and its canonicalization are
+    shared (3 muls + 3 canonicalizations vs 4 + 4 over two passes, and
+    the u16 inputs stream from HBM once)."""
     from msm_tpu.ops.pallas_scan import coord_words
 
     L = cfg.num_words
@@ -120,17 +127,31 @@ def make_convert_pack(
     xs_np = r2_np if x_scale_int is None else int_to_limbs(
         x_scale_int % cfg.curve.modulus, w, L
     ).astype(np.int32)[:, None]
+    dual = dual_x_scale_int is not None
+    x2_np = None if not dual else int_to_limbs(
+        dual_x_scale_int % cfg.curve.modulus, w, L
+    ).astype(np.int32)[:, None]
 
-    def kernel(q, r2, xsc, xr, yr, out, acc_ref):
+    def kernel(q, r2, xsc, xsc2, xr, yr, *outs_and_scratch):
+        if dual:
+            out, out2, acc_ref = outs_and_scratch
+        else:
+            out, acc_ref = outs_and_scratch
+            out2 = None
         _, _, f_mul, _, _ = _make_field_ops(cfg, q[:], acc_ref)
         r2b = r2[:] + jnp.zeros((L, tile), jnp.int32)
         xscb = xsc[:] + jnp.zeros((L, tile), jnp.int32)
-        cols = []
-        for ref, scale in ((xr, xscb), (yr, r2b)):
-            limbs = _extract_limbs(ref[:].T, w, L, mask)
-            mont = _canonical_rows(f_mul(limbs, scale), cfg)
-            cols.append(_pack_rows_dense(mont, cfg))
-        out[:] = jnp.concatenate(cols, axis=0).T  # [tile, 2D]
+        xl = _extract_limbs(xr[:].T, w, L, mask)
+        yl = _extract_limbs(yr[:].T, w, L, mask)
+        ypk = _pack_rows_dense(_canonical_rows(f_mul(yl, r2b), cfg), cfg)
+        xpk = _pack_rows_dense(_canonical_rows(f_mul(xl, xscb), cfg), cfg)
+        out[:] = jnp.concatenate([xpk, ypk], axis=0).T  # [tile, 2D]
+        if dual:
+            x2b = xsc2[:] + jnp.zeros((L, tile), jnp.int32)
+            x2pk = _pack_rows_dense(
+                _canonical_rows(f_mul(xl, x2b), cfg), cfg
+            )
+            out2[:] = jnp.concatenate([x2pk, ypk], axis=0).T
 
     def convert_pack(x_u16, y_u16):
         n = x_u16.shape[0]
@@ -144,16 +165,18 @@ def make_convert_pack(
             (tile, 2 * D), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
         cspec = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        oshape = jax.ShapeDtypeStruct((n, 2 * D), jnp.int32)
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[cspec, cspec, cspec, inspec, inspec],
-            out_specs=outspec,
-            out_shape=jax.ShapeDtypeStruct((n, 2 * D), jnp.int32),
+            in_specs=[cspec, cspec, cspec, cspec, inspec, inspec],
+            out_specs=(outspec, outspec) if dual else outspec,
+            out_shape=(oshape, oshape) if dual else oshape,
             scratch_shapes=[pltpu.VMEM((2 * L + 1, tile), jnp.int32)],
             interpret=interpret,
         )(
             jnp.asarray(q_np), jnp.asarray(r2_np), jnp.asarray(xs_np),
+            jnp.asarray(x2_np if dual else xs_np),
             x_u16, y_u16,
         )
 
