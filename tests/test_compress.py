@@ -123,3 +123,64 @@ def test_compressed_glv_pipeline_e2e(interpret_mode):
     got = compute_msm_jpoint(pts, ks, config=cfg, geometry=geom)
     want = best_msm(pts, ks)
     assert CV.eq(got, want)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("curve_name", ["BLS12_377", "PALLAS"])
+def test_compress_pairs_other_curves(interpret_mode, curve_name):
+    """Limb-geometry genericity of the compression kernels: BLS12-377
+    (30 limbs, 12 dense words) and Pasta (21 limbs — odd, top limb
+    dropped by the dense pack plan)."""
+    from msm_tpu.params import BLS12_377, PALLAS
+
+    curve = {"BLS12_377": BLS12_377, "PALLAS": PALLAS}[curve_name]
+    cfg = MsmConfig(curve=curve)
+    ec = get_curve_ctx(cfg)
+    cv = Curve(curve)
+    C, R = 4, 256
+    n = C * R
+    base_j = cv.sample_points(8, seed=5)
+    base = [cv.to_affine(p) for p in base_j]
+    rng = np.random.default_rng(6)
+    idx = rng.integers(0, 8, size=n)
+    signs = rng.integers(0, 2, size=n)
+    for t in range(0, n, 8):
+        idx[t + 1] = idx[t]
+        signs[t + 1] = signs[t]  # doubling
+    for t in range(4, n, 16):
+        idx[t + 1] = idx[t]
+        signs[t + 1] = 1 - signs[t]  # infinity
+    pts_a = [base[i] for i in idx]
+    x_u16, y_u16, _ = common.pad_inputs(pts_a, [0] * n, cfg)
+    pts = common.u16_to_mont_points(
+        ec, jnp.asarray(x_u16)[:n], jnp.asarray(y_u16)[:n]
+    )
+    packed = common.pack_points(pts, cfg)
+    D = packed.shape[-1] // 2
+    gxy = packed.reshape(R, C, 2 * D).swapaxes(0, 1).swapaxes(1, 2)
+    sg3 = (
+        jnp.asarray(signs, jnp.int32).reshape(R, C).swapaxes(0, 1)
+        .reshape(C, 1, R)
+    )
+    cx, cy, inf = compress_pairs(cfg, gxy, sg3, interpret=True)
+    cx, cy, inf = np.asarray(cx), np.asarray(cy), np.asarray(inf)
+    p = curve.modulus
+    rinv = pow(cfg.r, -1, p)
+    for r in range(0, R, 17):
+        for cp in range(C // 2):
+            i1, i2 = r * C + 2 * cp, r * C + 2 * cp + 1
+            e1, e2 = base_j[idx[i1]], base_j[idx[i2]]
+            if signs[i1]:
+                e1 = cv.neg(e1)
+            if signs[i2]:
+                e2 = cv.neg(e2)
+            s = cv.add(e1, e2)
+            if s.z % p == 0:
+                assert inf[cp, 0, r] == 1, (r, cp)
+            else:
+                assert inf[cp, 0, r] == 0, (r, cp)
+                sx, sy = cv.to_affine(s)
+                vx = limbs_to_int(cx[cp, :, r].astype(np.int64), cfg.word_size)
+                vy = limbs_to_int(cy[cp, :, r].astype(np.int64), cfg.word_size)
+                assert (vx * rinv) % p == sx, (r, cp)
+                assert (vy * rinv) % p == sy, (r, cp)
