@@ -90,7 +90,9 @@ def bench_sharded(args) -> None:
     rows = []
     for d in sorted({1, D}):
         mesh = default_mesh(jax.devices()[:d])
-        geom = pick_geometry(x_u16.shape[0] // d, cfg.chunk_size)
+        geom = pick_geometry(
+            x_u16.shape[0] // d, cfg.chunk_size, compress=cfg.compress
+        )
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         sh = NamedSharding(mesh, P("data", None))

@@ -104,7 +104,9 @@ def run_msm_multihost(
     x_u16, y_u16, s_u16 = common.pad_inputs(
         points, scalars, config, multiple=16 * d
     )
-    geom = pick_geometry(x_u16.shape[0] // d, config.chunk_size)
+    geom = pick_geometry(
+        x_u16.shape[0] // d, config.chunk_size, compress=config.compress
+    )
     xd, yd, sd = shard_global_inputs(mesh, axis, x_u16, y_u16, s_u16)
     ws = sharded_window_sums(xd, yd, sd, config, geom, mesh, axis)
     return common.window_sums_to_result(np.asarray(ws), config)

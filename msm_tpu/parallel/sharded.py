@@ -126,7 +126,9 @@ def compute_msm_sharded(
         points, scalars, config, multiple=16 * d
     )
     n = x_u16.shape[0]
-    geom = geometry or pick_geometry(n // d, config.chunk_size)
+    geom = geometry or pick_geometry(
+        n // d, config.chunk_size, compress=config.compress
+    )
     sharding = NamedSharding(mesh, P(axis, None))
     xd = jax.device_put(jnp.asarray(x_u16), sharding)
     yd = jax.device_put(jnp.asarray(y_u16), sharding)
