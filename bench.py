@@ -201,43 +201,89 @@ def main() -> None:
     from msm_tpu.models.geometry import pick_geometry
     from msm_tpu.params import BN254, MsmConfig, pick_config
 
+    from dataclasses import replace
+
     n = 1 << args.size
     cfg = MsmConfig(curve=BN254, chunk_size=args.chunk) if args.chunk else pick_config(n)
     if args.glv or args.compress:
-        from dataclasses import replace
-
         cfg = replace(cfg, glv=args.glv or cfg.glv,
                       compress=args.compress or cfg.compress)
+
+    def _verified(c, bits=14):
+        """Quick self-check of config c at 2^bits vs the CPU oracle."""
+        from msm_tpu.oracle import best_msm
+        from msm_tpu.oracle.pyecc import Curve
+
+        m = 1 << bits
+        vp, vk = sample_inputs(m, c, seed=7)
+        vx, vy, vs = common.pad_inputs(vp, vk, c)
+        g = pick_geometry(vx.shape[0], c.chunk_size, compress=c.compress)
+        ws = cuzk_window_sums(
+            jnp.asarray(vx), jnp.asarray(vy), jnp.asarray(vs), c, g
+        )
+        res = common.window_sums_to_result(np.asarray(ws), c)
+        return Curve(c.curve).eq(res, best_msm(vp, vk, curve=c.curve))
+
+    # candidate configs: the requested one, plus (in auto mode, on real
+    # TPU) the glv+compress round-2 config IF it self-verifies on this
+    # Mosaic stack — interpret-mode bit-exactness does not rule out a
+    # hardware-compiler miscompile, so the optimized config must prove
+    # itself against the oracle before its number can be recorded
+    candidates = [("base", cfg)]
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    if not (args.glv or args.compress or args.chunk) and on_tpu:
+        opt = replace(cfg, glv=True, compress=True)
+        try:
+            if _verified(opt):
+                candidates.append(("glv+compress", opt))
+                print("[bench] glv+compress self-verified vs oracle",
+                      file=sys.stderr)
+            else:
+                print("[bench] glv+compress MISMATCH — falling back",
+                      file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] glv+compress failed ({e!r:.120}) — falling "
+                  "back", file=sys.stderr)
+
     t0 = time.time()
     pts, ks = sample_inputs(n, cfg)
     x_u16, y_u16, s_u16 = common.pad_inputs(pts, ks, cfg)
-    geom = pick_geometry(
-        x_u16.shape[0], cfg.chunk_size, compress=cfg.compress
-    )
     xd, yd, sd = jnp.asarray(x_u16), jnp.asarray(y_u16), jnp.asarray(s_u16)
     print(f"[bench] setup {time.time()-t0:.1f}s; n=2^{args.size}, "
           f"device={jax.devices()[0].platform}", file=sys.stderr)
 
-    # warmup / compile
-    t0 = time.time()
-    ws = cuzk_window_sums(xd, yd, sd, cfg, geom)
-    ws.block_until_ready()
-    print(f"[bench] compile+first-run {time.time()-t0:.1f}s", file=sys.stderr)
-
-    times = []
-    for _ in range(args.reps):
-        t0 = time.time()
-        ws = cuzk_window_sums(xd, yd, sd, cfg, geom)
-        ws.block_until_ready()
-        dev_s = time.time() - t0
-        t1 = time.time()
-        res = common.window_sums_to_result(np.asarray(ws), cfg)
-        host_s = time.time() - t1
-        times.append(dev_s + host_s)
-        if args.timings:
-            print(f"[bench] device {dev_s*1e3:.1f} ms + host horner "
-                  f"{host_s*1e3:.1f} ms", file=sys.stderr)
-    ms = min(times) * 1e3
+    best = None
+    for name, c in candidates:
+        geom = pick_geometry(
+            x_u16.shape[0], c.chunk_size, compress=c.compress
+        )
+        try:
+            t0 = time.time()
+            ws = cuzk_window_sums(xd, yd, sd, c, geom)
+            ws.block_until_ready()
+            print(f"[bench] {name}: compile+first-run {time.time()-t0:.1f}s",
+                  file=sys.stderr)
+            times = []
+            for _ in range(args.reps):
+                t0 = time.time()
+                ws = cuzk_window_sums(xd, yd, sd, c, geom)
+                ws.block_until_ready()
+                dev_s = time.time() - t0
+                t1 = time.time()
+                res = common.window_sums_to_result(np.asarray(ws), c)
+                host_s = time.time() - t1
+                times.append(dev_s + host_s)
+                if args.timings:
+                    print(f"[bench] {name}: device {dev_s*1e3:.1f} ms + host "
+                          f"horner {host_s*1e3:.1f} ms", file=sys.stderr)
+            ms = min(times) * 1e3
+            print(f"[bench] {name}: {ms:.1f} ms", file=sys.stderr)
+            if best is None or ms < best[1]:
+                best = (name, ms, c, res)
+        except Exception as e:
+            print(f"[bench] {name} failed: {e!r:.200}", file=sys.stderr)
+    assert best is not None, "no candidate config completed"
+    name, ms, cfg, res = best
 
     if args.verify:
         from msm_tpu.oracle import best_msm
@@ -253,6 +299,7 @@ def main() -> None:
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / ms, 3),
+        "config": name,
     }))
 
 
