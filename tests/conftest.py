@@ -41,3 +41,19 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if "slow" in item.keywords:
             item.add_marker(skip)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules: a single pytest
+    process accumulates ~150 XLA CPU programs over the full suite and has
+    been observed to segfault near the end (trace-time crash in native
+    code, not reproducible in isolation). Re-compiles across modules cost
+    a little time; process stability is worth it."""
+    yield
+    import gc
+
+    import jax
+
+    jax.clear_caches()
+    gc.collect()
