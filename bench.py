@@ -229,7 +229,11 @@ def main() -> None:
     # Mosaic stack — interpret-mode bit-exactness does not rule out a
     # hardware-compiler miscompile, so the optimized config must prove
     # itself against the oracle before its number can be recorded
-    candidates = [("base", cfg)]
+    req_label = "+".join(
+        [k for k, on in (("glv", cfg.glv), ("compress", cfg.compress))
+         if on]
+    ) or "base"
+    candidates = [(req_label, cfg)]
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     if not (args.glv or args.compress or args.chunk) and on_tpu:
         opt = replace(cfg, glv=True, compress=True)

@@ -128,7 +128,9 @@ def make_pair_forward(
         qb = q[:] + jnp.zeros((L, tile), jnp.int32)
         x1, y1 = _unpack_dense(g1[0][:D], cfg), _unpack_dense(g1[0][D:], cfg)
         x2, y2 = _unpack_dense(g2[0][:D], cfg), _unpack_dense(g2[0][D:], cfg)
-        d = _pair_denominator(cfg, q, rm, x1, y1, s1[0], x2, y2, s2[0], qb)
+        _, dbl, inf = _pair_predicates(cfg, x1, y1, s1[0], x2, y2, s2[0])
+        y1p = _signed_y(y1, s1[0], qb)
+        d = _pair_denominator(cfg, rm, x1, y1p, x2, dbl, inf)
         m = f_mul(run[:], d)
         run[:] = m
         om[0] = m
@@ -173,11 +175,11 @@ def make_pair_forward(
     return forward
 
 
-def _pair_denominator(cfg, q, rm, x1, y1, s1, x2, y2, s2, qb):
-    """Shared d computation (MUST be bit-identical between passes)."""
+def _pair_denominator(cfg, rm, x1, y1p, x2, dbl, inf):
+    """Shared d computation from precomputed predicates/signed-y (MUST be
+    bit-identical between the forward and backward passes — both kernels
+    feed it the same _pair_predicates/_signed_y outputs)."""
     w, mask = cfg.word_size, cfg.mask
-    same_x, dbl, inf = _pair_predicates(cfg, x1, y1, s1, x2, y2, s2)
-    y1p = _signed_y(y1, s1, qb)
     d_add = _sweep_cols(x2 - x1, w, mask)
     d_dbl = _sweep_cols(y1p + y1p, w, mask)
     d = jnp.where(dbl, d_dbl, d_add)
@@ -193,9 +195,11 @@ def make_pair_backward(
     """Backward emit (reverse grid): recompute d/num, lam = num * m_{c-1} *
     invrun, emit (x3, y3, inf); invrun *= d.
 
-    Inputs: gxy/sg as in forward, m_prev [Cp, L, R] (m shifted down one:
-    row c holds m_{c-1}, row 0 holds mont-one), minv [L, R] = inv(m_last).
-    Outputs: cx, cy [Cp, L, R] swept balanced limbs, inf [Cp, 1, R] int32.
+    Inputs: gxy/sg as in forward, m [Cp, L, R] (the forward pass's
+    inclusive products — pair j reads m_{j-1} in place via a clamped
+    index map, substituting mont-one at j == 0), minv [L, R] =
+    inv(m_last). Outputs: cx, cy [Cp, L, R] swept balanced limbs,
+    inf [Cp, 1, R] int32.
     """
     tile = min(tile, R)
     L, D = cfg.num_words, coord_words(cfg)
@@ -218,19 +222,20 @@ def make_pair_backward(
         qb = q[:] + jnp.zeros((L, tile), jnp.int32)
         x1, y1 = _unpack_dense(g1[0][:D], cfg), _unpack_dense(g1[0][D:], cfg)
         x2, y2 = _unpack_dense(g2[0][:D], cfg), _unpack_dense(g2[0][D:], cfg)
-        same_x, dbl, inf = _pair_predicates(
-            cfg, x1, y1, s1[0], x2, y2, s2[0]
-        )
+        _, dbl, inf = _pair_predicates(cfg, x1, y1, s1[0], x2, y2, s2[0])
         y1p = _signed_y(y1, s1[0], qb)
         y2p = _signed_y(y2, s2[0], qb)
-        d = _pair_denominator(
-            cfg, q, rm, x1, y1, s1[0], x2, y2, s2[0], qb
-        )
+        d = _pair_denominator(cfg, rm, x1, y1p, x2, dbl, inf)
         x1sq = f_mul(x1, x1)
         num_dbl = f_add(f_add_raw(x1sq, x1sq), x1sq)  # 3*x1^2
         num_add = _sweep_cols(y2p - y1p, w, mask)
         num = jnp.where(dbl, num_dbl, num_add)
-        inv_d = f_mul(mprev[0], run[:])
+        # m_{j-1} for pair j = rev(c); the first pair (j == 0, i.e. the
+        # LAST grid step) substitutes mont-one — mprev's index map clamps
+        # its read to row 0 there, which this select discards
+        rmb = rm[:] + jnp.zeros((L, tile), jnp.int32)
+        mp = jnp.where(c == Cp - 1, rmb, mprev[0])
+        inv_d = f_mul(mp, run[:])
         lam = f_mul(num, inv_d)
         x3 = f_sub(f_sub(f_mul(lam, lam), x1), x2)
         y3 = f_sub(f_mul(lam, f_sub(x1, x3)), y1p)
@@ -239,9 +244,9 @@ def make_pair_backward(
         oy[0] = y3
         oinf[0] = inf.astype(jnp.int32)
 
-    def backward(gxy, sg, m_prev, minv):
+    def backward(gxy, sg, m, minv):
         assert gxy.shape == (2 * Cp, 2 * D, R), gxy.shape
-        assert m_prev.shape == (Cp, L, R), m_prev.shape
+        assert m.shape == (Cp, L, R), m.shape
         assert minv.shape == (L, R), minv.shape
         assert R % tile == 0
         grid = (R // tile, Cp)
@@ -262,8 +267,13 @@ def make_pair_backward(
             (1, 1, tile), lambda r, c: (2 * rev(c) + 1, 0, r),
             memory_space=pltpu.VMEM,
         )
+        # pair j = rev(c) reads m_{j-1}; clamped to 0 on the last grid
+        # step (j == 0), where the kernel substitutes mont-one instead —
+        # reading m in place avoids materializing a shifted 40 MB copy
         mspec = pl.BlockSpec(
-            (1, L, tile), lambda r, c: (rev(c), 0, r), memory_space=pltpu.VMEM
+            (1, L, tile),
+            lambda r, c: (jnp.maximum(rev(c) - 1, 0), 0, r),
+            memory_space=pltpu.VMEM,
         )
         vspec = pl.BlockSpec(
             (L, tile), lambda r, c: (0, r), memory_space=pltpu.VMEM
@@ -291,7 +301,7 @@ def make_pair_backward(
             interpret=interpret,
         )(
             jnp.asarray(q_np), jnp.asarray(rm_np), gxy, gxy, sg, sg,
-            m_prev, minv,
+            m, minv,
         )
 
     return backward
@@ -316,13 +326,6 @@ def compress_pairs(
     f = get_field_ctx(cfg)
     # Fermat inversion of the final products, batched over lanes ([R, L])
     minv = f.mont_pow(m[-1].T, cfg.curve.modulus - 2).T
-    one_row = jnp.broadcast_to(
-        jnp.asarray(
-            int_to_limbs(cfg.r, cfg.word_size, L).astype(np.int64), jnp.int32
-        )[:, None],
-        (1, L, R),
-    )
-    m_prev = jnp.concatenate([one_row, m[:-1]], axis=0)
     return make_pair_backward(cfg, Cp, R, interpret=interpret)(
-        gxy, sg, m_prev, minv.astype(jnp.int32)
+        gxy, sg, m, minv.astype(jnp.int32)
     )

@@ -272,6 +272,23 @@ def bucket_boundary_prefix(
     )
 
 
+def _decode_payload_step_major(
+    pv: jax.Array, sbit: int | None, R: int
+) -> tuple[jax.Array, jax.Array]:
+    """Transpose the sorted payload vector to step-major order (element
+    (c, r) = sorted position r*C + c) and split it into the gather
+    permutation and the sign bit. The kernels own the contiguous sorted
+    range [r*C, (r+1)*C) per lane r; transposing the 4 MB payload VECTOR
+    (not the gathered coordinate data) keeps the gather itself landing
+    directly in kernel layout. Shared by _sorted_prefix and
+    _boundary_prefix_compressed so the sbit/layout invariant lives once."""
+    n = pv.shape[0]
+    pv2 = pv.reshape(R, n // R).swapaxes(0, 1).reshape(n)
+    if sbit is not None:
+        return pv2 & ((1 << sbit) - 1), pv2 >> sbit
+    return pv2, jnp.zeros((n,), jnp.int32)
+
+
 def _boundary_prefix_compressed(
     ec: CurveCtx,
     packed: jax.Array,
@@ -308,13 +325,7 @@ def _boundary_prefix_compressed(
     Cp = C // 2
     D = coord_words(cfg)
     interp = pallas_interpret()
-    pv2 = pv.reshape(R, C).swapaxes(0, 1).reshape(n)
-    if sbit is not None:
-        perm2 = pv2 & ((1 << sbit) - 1)
-        sgv = pv2 >> sbit
-    else:
-        perm2 = pv2
-        sgv = jnp.zeros((n,), jnp.int32)
+    perm2, sgv = _decode_payload_step_major(pv, sbit, R)
     g = packed[perm2]  # [n, 2D] — the ONLY per-subtask gather
     gxy = g.reshape(C, R, 2 * D).swapaxes(1, 2)
     sg3 = sgv.reshape(C, 1, R)
@@ -499,16 +510,7 @@ def _sorted_prefix(
             [pack_coords(pts.x, ec.cfg), pack_coords(pts.y, ec.cfg)],
             axis=-1,
         )
-    # step-major storage (element (c, r) = sorted position r*C + c) is
-    # produced by transposing the 4 MB payload VECTOR, not the gathered
-    # coordinate data — the gather lands directly in kernel layout
-    pv2 = pv.reshape(R, C).swapaxes(0, 1).reshape(n)
-    if sbit is not None:
-        perm2 = pv2 & idx_mask
-        sg = pv2 >> sbit
-    else:
-        perm2 = pv2
-        sg = jnp.zeros((n,), jnp.int32)
+    perm2, sg = _decode_payload_step_major(pv, sbit, R)
     g = packed[perm2]  # [n, 2P] — the ONLY per-subtask gather
     W = g.shape[-1]
     # [C, 2P, R]: XLA's gather emits rows-minor data, so this transpose is

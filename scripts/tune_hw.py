@@ -68,6 +68,12 @@ def main() -> None:
     if args.quick:
         variants = [variants[0], variants[3]]
 
+    want = None
+    if args.verify:
+        from msm_tpu.oracle import best_msm
+
+        want = best_msm(pts, ks)  # loop-invariant: one oracle MSM total
+
     results = {}
     for name, flags, rows in variants:
         cfg = replace(base_cfg, **flags)
@@ -94,15 +100,13 @@ def main() -> None:
                 "rows": geom.num_rows, "compile_s": round(compile_s, 1),
             }), flush=True)
             if args.verify:
-                from msm_tpu.oracle import best_msm
-
                 res = common.window_sums_to_result(np.asarray(ws), cfg)
-                want = best_msm(pts, ks)
                 ok = cv.eq(res, want)
                 print(json.dumps({"variant": name, "verified": bool(ok)}),
                       flush=True)
                 assert ok, f"{name}: MISMATCH vs oracle"
         except Exception as e:  # keep sweeping on a single-variant failure
+            results.pop(name, None)  # a miscompiled variant must not win
             print(json.dumps({"variant": name, "error": repr(e)[:200]}),
                   flush=True)
     if results:
