@@ -42,6 +42,13 @@ from msm_tpu.params import DEFAULT_CONFIG, MsmConfig
 #: sums are point-added before export (2^22: 3.17 -> ~2.2 s).
 SLICE = 1 << 20
 
+#: device program cap: above 2^22 the [n, 16] u16 inputs' lane-padded HBM
+#: residency (512 B/point/array) outgrows the chip, so compute_msm_jpoint
+#: runs host-level chunks whose window sums merge with ~S exact point adds
+#: each (window sums are linear in the points). Module-level so tests can
+#: shrink it to exercise the chunked branch at small n.
+CHUNK_MAX = 1 << 22
+
 
 def _window_sums_mont(
     x_u16: jax.Array,
@@ -170,11 +177,6 @@ def compute_msm_jpoint(
         return IDENTITY
     x_u16, y_u16, s_u16 = common.pad_inputs(points, scalars, config)
     n = x_u16.shape[0]
-    # device program cap: above 2^22 the [n, 16] u16 inputs' lane-padded
-    # HBM residency (512 B/point/array) outgrows the chip, so the MSM runs
-    # as host-level chunks whose window sums merge with ~16 exact point
-    # adds each (window sums are linear in the points)
-    CHUNK_MAX = 1 << 22
     if n <= CHUNK_MAX:
         geom = geometry or pick_geometry(
             n, config.chunk_size, compress=config.compress

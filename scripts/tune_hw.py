@@ -57,13 +57,19 @@ def main() -> None:
         return float(jnp.sum(ws).block_until_ready())
 
     variants = [
-        ("base", dict(glv=False, compress=False), None),
-        ("glv", dict(glv=True, compress=False), None),
-        ("compress", dict(glv=False, compress=True), None),
-        ("glv+compress", dict(glv=True, compress=True), None),
-        ("glv+compress_r2048", dict(glv=True, compress=True), 2048),
-        ("compress_r2048", dict(glv=False, compress=True), 2048),
-        ("glv+compress_r512", dict(glv=True, compress=True), 512),
+        # (name, cfg flags, num_rows override, subtask_batch override)
+        ("base", dict(glv=False, compress=False), None, None),
+        ("glv", dict(glv=True, compress=False), None, None),
+        ("compress", dict(glv=False, compress=True), None, None),
+        ("glv+compress", dict(glv=True, compress=True), None, None),
+        ("glv+compress_r2048", dict(glv=True, compress=True), 2048, None),
+        ("compress_r2048", dict(glv=False, compress=True), 2048, None),
+        ("glv+compress_r512", dict(glv=True, compress=True), 512, None),
+        # lax.map batch re-check: bs=4 won pre-compression; the compression
+        # kernels change the program under the batching rule (and bs>1 is
+        # the platform's known miscompile surface — verify gates it)
+        ("glv+compress_bs1", dict(glv=True, compress=True), None, 1),
+        ("glv+compress_bs8", dict(glv=True, compress=True), None, 8),
     ]
     if args.quick:
         variants = [variants[0], variants[3]]
@@ -75,13 +81,17 @@ def main() -> None:
         want = best_msm(pts, ks)  # loop-invariant: one oracle MSM total
 
     results = {}
-    for name, flags, rows in variants:
+    for name, flags, rows, bs in variants:
         cfg = replace(base_cfg, **flags)
         geom = pick_geometry(
             x_u16.shape[0], cfg.chunk_size, compress=cfg.compress
         )
-        if rows:
-            geom = MsmGeometry(rows, geom.bpr_threads, geom.subtask_batch)
+        if rows or bs:
+            geom = MsmGeometry(
+                rows or geom.num_rows,
+                geom.bpr_threads,
+                bs or geom.subtask_batch,
+            )
         try:
             t0 = time.time()
             ws = cuzk_window_sums(xd, yd, sd, cfg, geom)

@@ -123,3 +123,19 @@ def test_cuzk_msm_sliced_path(monkeypatch):
     got = compute_msm_jpoint(pts, ks)
     want = CV.msm([CV.from_affine(*p) for p in pts], ks)
     assert CV.eq(got, want)
+
+
+def test_cuzk_msm_host_chunked_path(monkeypatch):
+    """The n > CHUNK_MAX host-chunking branch (production trigger: n > 2^22,
+    where the u16 input arrays outgrow HBM): window sums of each chunk are
+    point-added on the host before the Horner. Exercised at CPU scale by
+    shrinking both caps so a 1024-point MSM runs as 2 host chunks of 2
+    device slices each (covering the chunk x slice composition)."""
+    import msm_tpu.models.cuzk as cuzk_mod
+
+    monkeypatch.setattr(cuzk_mod, "SLICE", 256)
+    monkeypatch.setattr(cuzk_mod, "CHUNK_MAX", 512)
+    pts, ks = _fixture(1024, seed=10)
+    got = compute_msm_jpoint(pts, ks)
+    want = CV.msm([CV.from_affine(*p) for p in pts], ks)
+    assert CV.eq(got, want)

@@ -82,3 +82,35 @@ def test_sharded_fused_kernels_interpret():
     finally:
         set_pallas_mode("auto")
     assert CV.eq(got, best_msm(pts, ks))
+
+
+@pytest.mark.slow
+def test_sharded_glv_compress_interpret():
+    """shard_map x (GLV + pair compression) co-test: the optimized
+    production-2^20 feature set (cfg.glv, cfg.compress — including the
+    compression fwd/inv/bwd kernels and the odd-boundary corrected
+    extraction) has to compose with shard_map exactly like it will on a
+    real pod slice. Interpret-mode kernels on the CPU mesh, vs oracle."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    from msm_tpu.models.geometry import MsmGeometry
+    from msm_tpu.ops.curve import set_pallas_mode
+    from msm_tpu.oracle import best_msm
+
+    mesh = default_mesh(jax.devices()[:2])
+    geom = MsmGeometry(num_rows=256, bpr_threads=64, subtask_batch=4)
+    cfg = MsmConfig(curve=BN254, chunk_size=8, glv=True, compress=True)
+    n = 4096
+    base = [CV.to_affine(p) for p in CV.sample_points(32, seed=21)]
+    pts = [base[i % len(base)] for i in range(n)]
+    rng = np.random.default_rng(22)
+    ks = [
+        int.from_bytes(rng.bytes(32), "little") % BN254.order
+        for _ in range(n)
+    ]
+    set_pallas_mode("interpret")
+    try:
+        got = compute_msm_sharded(pts, ks, cfg, mesh=mesh, geometry=geom)
+    finally:
+        set_pallas_mode("auto")
+    assert CV.eq(got, best_msm(pts, ks))
