@@ -348,12 +348,22 @@ def main() -> None:
         assert cv.eq(res, want), "MSM result does not match CPU oracle"
         print("[bench] verified vs CPU oracle", file=sys.stderr)
 
+    # speed-of-light accounting (BASELINE.md "field-muls/sec vs roofline"):
+    # nominal work = the canonical pipeline's madd muls (16 windows x n x
+    # 13 muls — optimizations like GLV/compression reduce the REAL op
+    # count, so this is an *effective* throughput, FLOPs-convention style).
+    # Roofline: one 20-limb mont mul ~= 2000 int32 lane-ops; the fused madd
+    # kernel measures ~1.3 T effective VPU ops/s on v5e (PERF_NOTES.md).
+    nominal_muls = 16 * n * 13
+    muls_per_sec = nominal_muls / (ms / 1e3)
     print(json.dumps({
         "metric": f"bn254_msm_2^{args.size}_wall_clock",
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / ms, 3),
         "config": name,
+        "field_muls_per_sec_nominal": round(muls_per_sec),
+        "vpu_roofline_frac": round(muls_per_sec * 2000 / 1.3e12, 3),
     }))
 
 

@@ -31,4 +31,6 @@ step bench22 2400 python bench.py --size 22
 step batched 1800 python bench.py --batched 8 --size 16
 # 5. per-stage trace for PERF_NOTES budget
 step profile 1800 python -m msm_tpu profile --size 20
+# 6. Montgomery-multiplier variant sweep (parity table, word sizes 13-16)
+step variants 900 python -m msm_tpu variants
 echo "[hw] session complete; results in $OUT"
