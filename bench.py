@@ -59,6 +59,11 @@ def _guard_backend(allow_cpu_fallback: bool) -> bool:
     import os
 
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # the sitecustomize platform pin IGNORES env vars — only a
+        # jax.config update actually forces the CPU backend
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
         return True
     if _axon_relay_up():
         return False
@@ -147,6 +152,15 @@ def bench_sharded(args) -> None:
         sd = jax.device_put(jnp.asarray(s_u16), sh)
         ws = sharded_window_sums(xd, yd, sd, cfg, geom, mesh, "data")
         np.asarray(ws)  # compile + warm (fetch synchronizes)
+        if args.verify:
+            from msm_tpu.models import common as _c
+            from msm_tpu.oracle import best_msm
+            from msm_tpu.oracle.pyecc import Curve
+
+            res = _c.window_sums_to_result(np.asarray(ws), cfg)
+            assert Curve(cfg.curve).eq(res, best_msm(pts, ks, curve=cfg.curve)), \
+                f"sharded D={d} result does not match CPU oracle"
+            print(f"[bench] D={d} verified vs CPU oracle", file=sys.stderr)
         times = []
         for _ in range(args.reps):
             t0 = time.time()

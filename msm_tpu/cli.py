@@ -127,6 +127,35 @@ def cmd_profile(args) -> None:
     print(json.dumps(report, indent=2))
 
 
+def _guard_backend(cmd: str) -> None:
+    """Never hang on a dead axon relay (the image's platform pin ignores
+    JAX_PLATFORMS env vars; jax.devices() blocks forever in grpc retry).
+    Probe the relay port; when it is closed, pin the CPU backend for the
+    device-optional subcommands and exit(2) with a message otherwise."""
+    import os
+    import socket
+
+    def _pin_cpu():
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        _pin_cpu()
+        return
+    if cmd == "cpu":  # pure-host oracle: never touches a device
+        _pin_cpu()
+        return
+    try:
+        with socket.create_connection(("127.0.0.1", 8083), timeout=5):
+            return
+    except OSError:
+        pass
+    print(f"[msm_tpu] axon relay down — running `{cmd}` on the CPU "
+          "backend", file=sys.stderr)
+    _pin_cpu()
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="msm_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -151,6 +180,8 @@ def main(argv=None) -> None:
             p.add_argument("--verify", action="store_true")
         p.set_defaults(fn=fn)
     args = ap.parse_args(argv)
+    if args.cmd != "bench":  # bench.py carries its own relay guard
+        _guard_backend(args.cmd)
     args.fn(args)
 
 

@@ -31,6 +31,8 @@ step bench22 2400 python bench.py --size 22
 step batched 1800 python bench.py --batched 8 --size 16
 # 5. per-stage trace for PERF_NOTES budget
 step profile 1800 python -m msm_tpu profile --size 20
+# 5b. single-chip field-muls/sec row (BASELINE.md scaling table, D=1)
+step sharded1 1800 python bench.py --sharded 1 --size 20 --verify
 # 6. Montgomery-multiplier variant sweep (parity table, word sizes 13-16)
 step variants 900 python -m msm_tpu variants
 echo "[hw] session complete; results in $OUT"
