@@ -320,7 +320,7 @@ def main() -> None:
     print(f"[bench] setup {time.time()-t0:.1f}s; n=2^{args.size}, "
           f"device={jax.devices()[0].platform}", file=sys.stderr)
 
-    best = None
+    measured = []
     for name, c in candidates:
         geom = pick_geometry(
             x_u16.shape[0], c.chunk_size, compress=c.compress
@@ -346,21 +346,38 @@ def main() -> None:
                           f"horner {host_s*1e3:.1f} ms", file=sys.stderr)
             ms = min(times) * 1e3
             print(f"[bench] {name}: {ms:.1f} ms", file=sys.stderr)
-            if best is None or ms < best[1]:
-                best = (name, ms, c, res)
+            measured.append((ms, name, c, res))
         except Exception as e:
             print(f"[bench] {name} failed: {e!r:.200}", file=sys.stderr)
-    assert best is not None, "no candidate config completed"
-    name, ms, cfg, res = best
+    assert measured, "no candidate config completed"
 
-    if args.verify:
+    # Oracle-gate the RECORDED number (fastest first, fall back on
+    # mismatch): the 2^14 self-check above cannot rule out a
+    # geometry-dependent Mosaic miscompile at the full size, and the
+    # driver runs this unattended — a wrong-but-fast result must never
+    # win. Verification cost: one C++ Pippenger MSM (seconds); skipped
+    # only above 2^20 without --verify (the C++ oracle itself slows).
+    verified = None
+    do_verify = args.verify or (args.size <= 20 and len(measured) > 1)
+    if do_verify:
         from msm_tpu.oracle import best_msm
         from msm_tpu.oracle.pyecc import Curve
 
         cv = Curve(cfg.curve)
         want = best_msm(pts, ks, curve=cfg.curve)
-        assert cv.eq(res, want), "MSM result does not match CPU oracle"
-        print("[bench] verified vs CPU oracle", file=sys.stderr)
+        for ms, name, c, res in sorted(measured, key=lambda t: t[0]):
+            if cv.eq(res, want):
+                print(f"[bench] {name} verified vs CPU oracle",
+                      file=sys.stderr)
+                verified = True
+                break
+            print(f"[bench] {name} MISMATCH vs oracle — discarding its "
+                  "number", file=sys.stderr)
+            measured.remove((ms, name, c, res))
+        assert measured, "every candidate config mismatched the CPU oracle"
+        if args.verify:
+            assert verified, "MSM result does not match CPU oracle"
+    ms, name, cfg, res = min(measured, key=lambda t: t[0])
 
     # speed-of-light accounting (BASELINE.md "field-muls/sec vs roofline"):
     # nominal work = the canonical pipeline's madd muls (16 windows x n x
@@ -376,6 +393,7 @@ def main() -> None:
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / ms, 3),
         "config": name,
+        "verified": bool(verified),
         "field_muls_per_sec_nominal": round(muls_per_sec),
         "vpu_roofline_frac": round(muls_per_sec * 2000 / 1.3e12, 3),
     }))
