@@ -118,11 +118,15 @@ def cmd_variants(args) -> None:
 
 
 def cmd_profile(args) -> None:
+    from dataclasses import replace
+
     from msm_tpu.utils.profiling import stage_timings
 
     import msm_tpu
 
     cfg = msm_tpu.MsmConfig(curve=msm_tpu.CURVES[args.curve])
+    cfg = replace(cfg, glv=getattr(args, "glv", False),
+                  compress=getattr(args, "compress", False))
     report = stage_timings(1 << args.size, cfg)
     print(json.dumps(report, indent=2))
 
@@ -171,7 +175,7 @@ def main(argv=None) -> None:
         p.add_argument("--size", type=int, default=16, help="log2 input size")
         p.add_argument("--curve", default="bn254")
         p.add_argument("--seed", type=int, default=0)
-        if name in ("msm", "verify"):
+        if name in ("msm", "verify", "profile"):
             p.add_argument("--glv", action="store_true",
                            help="GLV endomorphism config (a=0 curves)")
             p.add_argument("--compress", action="store_true",

@@ -108,13 +108,26 @@ def glv_params(curve: CurveSpec) -> GlvParams:
         v2 = (-v2[0], -v2[1])
         det = -det
     assert det == r, det
+    # sign-normalize so both Babai multipliers are NONNEGATIVE — the device
+    # split decomposes g1/g2 into unsigned u8 words, so negative values
+    # (Pasta's reduced basis comes out with both second components flipped)
+    # would silently corrupt the split. Flipping BOTH vectors preserves det.
+    if v2[1] < 0 and v1[1] > 0:
+        v1 = (-v1[0], -v1[1])
+        v2 = (-v2[0], -v2[1])
+    assert v2[1] > 0 and v1[1] <= 0, (v1, v2)
     g1 = (v2[1] << M_BITS) // r
     g2 = ((-v1[1]) << M_BITS) // r
-    # |k_i| <= (|v1_i| + |v2_i|)/2 for exact rounding; device truncation can
-    # shift each c_j by one unit -> at most one extra |v_j_i| each
+    # Babai with EXACT half-up rounding (split_scalar / split_scalars_device
+    # correct the floored-multiplier candidates by the exact remainder, so
+    # |c_j - k*b_j/r| <= 1/2 rigorously):  |k_i| <= (|v1_i| + |v2_i|)/2.
+    # This tight bound is what lets a 254-bit order keep 8 chunk-16 windows
+    # with the top signed digit provably <= 2^15 (ops/decompose.py): the
+    # earlier one-sided truncation slop admitted |k_i| up to ~3x this, whose
+    # top window could exceed the 2^15+1 bucket range for extremal scalars.
     max_c = max(
-        (abs(v1[0]) + abs(v2[0])) // 2 + abs(v1[0]) + abs(v2[0]),
-        (abs(v1[1]) + abs(v2[1])) // 2 + abs(v1[1]) + abs(v2[1]),
+        (abs(v1[0]) + abs(v2[0]) + 1) // 2,
+        (abs(v1[1]) + abs(v2[1]) + 1) // 2,
     )
     return GlvParams(
         beta=beta, lam=lam, v1=v1, v2=v2, g1=g1, g2=g2, max_component=max_c
@@ -122,12 +135,24 @@ def glv_params(curve: CurveSpec) -> GlvParams:
 
 
 def split_scalar(k: int, glv: GlvParams, r: int) -> tuple[int, int]:
-    """Host-reference Babai split: k = k1 + k2*lambda (mod r), |ki| small."""
+    """Host-reference Babai split: k = k1 + k2*lambda (mod r), with EXACT
+    half-up rounding so |k_i| <= glv.max_component rigorously.
+
+    The g_j multipliers are floored to M_BITS precision, which can leave the
+    candidate c_j ONE below round-half-up(k*b_j/r) (never above: the error
+    k*(b_j*2^M/r - g_j)/2^M lies in [0, 2^-66)). Correct by the exact
+    remainder: c_j is exact iff t = k*b_j - c_j*r lands in (-r/2, r/2]."""
     c1 = (k * glv.g1 + (1 << (M_BITS - 1))) >> M_BITS
     c2 = (k * glv.g2 + (1 << (M_BITS - 1))) >> M_BITS
+    b1, b2 = glv.v2[1], -glv.v1[1]
+    if 2 * (k * b1 - c1 * r) > r:
+        c1 += 1
+    if 2 * (k * b2 - c2 * r) > r:
+        c2 += 1
     k1 = k - c1 * glv.v1[0] - c2 * glv.v2[0]
     k2 = -c1 * glv.v1[1] - c2 * glv.v2[1]
     assert (k1 + k2 * glv.lam - k) % r == 0
+    assert abs(k1) <= glv.max_component and abs(k2) <= glv.max_component
     return k1, k2
 
 
@@ -219,6 +244,57 @@ def split_scalars_device(s_u16: jax.Array, cfg) -> tuple[
     TW = W + 1  # two's-complement working width for k1/k2
     c1 = mul_high(k8, glv.g1, -(-glv.g1.bit_length() // 8), M_BITS // 16, CW)
     c2 = mul_high(k8, glv.g2, -(-glv.g2.bit_length() // 8), M_BITS // 16, CW)
+
+    # --- exact-rounding correction (mirrors split_scalar): the floored g_j
+    # leaves c_j at most ONE below round-half-up(k*b_j/r). Detect via the
+    # remainder t = k*b_j - c_j*r computed mod 2^256: an exact candidate
+    # gives t in (-r/2, r/2]; a one-low candidate gives t in (r/2, 3r/2].
+    # The upper guard must be exactly 3r/2: negative t wraps above
+    # 2^256 - r/2, which exceeds 3r/2 for every r < 2^255 but NOT 2r when
+    # the order is dense in 255 bits (BLS12-381: 2^256 - r/2 < 2r, so a 2r
+    # guard would misfire on t near -r/2). "r/2 < t <= 3r/2" flags exactly
+    # the rows needing c_j += 1. This makes |k_i| <= max_component RIGOROUS
+    # — and
+    # with it the top signed window digit <= 2^15 for every input scalar,
+    # not just generically random ones.
+    r_int = int(cfg.curve.order)
+    RW = 16  # remainder words: 3r/2 < 2^255 for every supported order
+
+    def add_words(a, b, width):
+        out = []
+        carry = jnp.zeros((n,), jnp.int32)
+        for i in range(width):
+            v = a[:, i] + b[:, i] + carry
+            out.append(v & 0xFFFF)
+            carry = v >> 16
+        return jnp.stack(out, axis=-1)
+
+    def gt_const(t, v: int):
+        """Unsigned 16*RW-bit t > v, lexicographic from the top word."""
+        gt = eq = None
+        for i in reversed(range(RW)):
+            w = np.int32((v >> (16 * i)) & 0xFFFF)
+            gi = t[:, i] > w
+            ei = t[:, i] == w
+            gt = gi if gt is None else gt | (eq & gi)
+            eq = ei if eq is None else eq & ei
+        return gt
+
+    def round_correct(c, b: int):
+        kb = mul_low(s_u16, b, 16, RW, negate=False)
+        cr = mul_low(c, r_int, CW, RW, negate=True)
+        t = add_words(kb, cr, RW)
+        corr = gt_const(t, r_int // 2) & ~gt_const(t, (3 * r_int) // 2)
+        out = []
+        carry = corr.astype(jnp.int32)
+        for i in range(CW):
+            v = c[:, i] + carry
+            out.append(v & 0xFFFF)
+            carry = v >> 16
+        return jnp.stack(out, axis=-1)
+
+    c1 = round_correct(c1, glv.v2[1])
+    c2 = round_correct(c2, -glv.v1[1])
 
     def tc_add(a, b):
         """u16-word two's-complement add with carry propagation, width TW."""

@@ -89,7 +89,37 @@ PALLAS = CurveSpec(
     gy=2,
 )
 
-CURVES = {c.name: c for c in (BN254, BLS12_377, PALLAS)}
+#: BLS12-381 G1 — the most widely deployed pairing curve (Ethereum, Zcash);
+#: 381-bit field (30 limbs @ w=13, same geometry class as BLS12-377). Not in
+#: the reference; included to prove the config layer covers the curves a
+#: production prover actually serves.
+BLS12_381 = CurveSpec(
+    name="bls12_381",
+    modulus=4002409555221667393417789825735904156556882819939007885332058136124031650490837864442687629129015664037894272559787,
+    order=52435875175126190479447740508185965837690552500527637822603658699938581184513,
+    a=0,
+    b=4,
+    gx=3685416753713387016781088315183077757961620795782546409894578378688607592378376318836054947676345821548104185464507,
+    gy=1339506544944476473020471379941921221584933875938349620426543736416511423956333506472724655353366534992391756441569,
+)
+
+#: secp256k1 — the classic GLV curve (a = 0, p ≡ 1 mod 3, the endomorphism
+#: the GLV paper itself targets); 256-bit field with zero slack, so the
+#: num_words rule bumps to 21 limbs (R = 2^273 >= 64p). Not in the
+#: reference; exercises an even-bit zero-slack modulus end-to-end.
+SECP256K1 = CurveSpec(
+    name="secp256k1",
+    modulus=115792089237316195423570985008687907853269984665640564039457584007908834671663,
+    order=115792089237316195423570985008687907852837564279074904382605163141518161494337,
+    a=0,
+    b=7,
+    gx=55066263022277343669578718895168534326250603453777594175500187360389116729240,
+    gy=32670510020758816978083085130507043184471273380659243275938904335757337482424,
+)
+
+CURVES = {
+    c.name: c for c in (BN254, BLS12_377, PALLAS, BLS12_381, SECP256K1)
+}
 
 
 # ---------------------------------------------------------------------------
@@ -193,13 +223,23 @@ class MsmConfig:
 
     @property
     def num_subtasks(self) -> int:
+        # Window-count rule: S = ceil((value_bits + 1) / chunk_size). The
+        # +1 is the signed-recode headroom — the top window must come out
+        # <= 2^(c-1) after carry absorption (ops/decompose.signed_recode),
+        # which holds iff the decomposed value is < 2^(c*S - 1). The
+        # reference's ceil(256/chunk) (msm.rs:82) coincides for <= 255-bit
+        # orders; a full 256-bit order (secp256k1) genuinely needs the
+        # extra window.
         if self.glv:
-            # windows cover the GLV half-scalar bound |k_i| < 2^half_bits
-            # (~127 for 254-bit orders): 8 windows at chunk 16 instead of 16
+            # windows cover the GLV half-scalar bound |k_i| <= max_component
+            # (< 2^126 for BN254 with the exact Babai rounding): 8 windows
+            # at chunk 16 instead of 16
             from msm_tpu.ops.glv import glv_params
 
-            return -(-glv_params(self.curve).half_bits // self.chunk_size)
-        return -(-self.scalar_bits // self.chunk_size)
+            bits = glv_params(self.curve).half_bits
+        else:
+            bits = self.curve.order_bits
+        return -(-(bits + 1) // self.chunk_size)
 
     @property
     def num_buckets(self) -> int:

@@ -75,11 +75,18 @@ def stage_timings(n: int, cfg, seed: int = 0) -> dict:
         for _ in range(n)
     ]
     x, y, s = common.pad_inputs(pts_a, ks, cfg)
-    geom = pick_geometry(x.shape[0], cfg.chunk_size)
+    geom = pick_geometry(x.shape[0], cfg.chunk_size, compress=cfg.compress)
     xd, yd, sd = jnp.asarray(x), jnp.asarray(y), jnp.asarray(s)
 
     pts, packed = common.prepare_points(ec, xd, yd, geom.num_rows)
-    keys, signs = decompose_signed(sd, cfg.chunk_size, cfg.num_subtasks)
+    if cfg.glv:
+        from msm_tpu.ops.glv import decompose_signed_glv
+
+        keys, signs = decompose_signed_glv(
+            sd, cfg.chunk_size, cfg.num_subtasks, cfg
+        )
+    else:
+        keys, signs = decompose_signed(sd, cfg.chunk_size, cfg.num_subtasks)
     k0, s0 = keys[0], signs[0]
 
     report: dict = {
@@ -112,10 +119,11 @@ def stage_timings(n: int, cfg, seed: int = 0) -> dict:
         ec, pts, k0, cfg.num_buckets, geom.num_rows, signs=s0, affine=True,
         packed=packed,
     )
+    S = cfg.num_subtasks
     pe16 = PointBatch(
-        *(jnp.broadcast_to(a[None], (16,) + a.shape) for a in pe)
+        *(jnp.broadcast_to(a[None], (S,) + a.shape) for a in pe)
     )
-    t["window_sum_x16_batched"] = 1e3 * _timeit(
+    t[f"window_sum_x{S}_batched"] = 1e3 * _timeit(
         lambda b: jax.vmap(lambda p: window_sum_from_pe(ec, p))(b), pe16
     )
     t["full_pipeline"] = 1e3 * _timeit(

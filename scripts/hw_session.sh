@@ -29,8 +29,9 @@ step bench18 900 python bench.py --size 18
 step bench22 2400 python bench.py --size 22
 # 4. batched-MSM throughput (BASELINE config 4)
 step batched 1800 python bench.py --batched 8 --size 16
-# 5. per-stage trace for PERF_NOTES budget
+# 5. per-stage trace for PERF_NOTES budget (base + optimized configs)
 step profile 1800 python -m msm_tpu profile --size 20
+step profile_gc 1800 python -m msm_tpu profile --size 20 --glv --compress
 # 5b. single-chip field-muls/sec row (BASELINE.md scaling table, D=1)
 step sharded1 1800 python bench.py --sharded 1 --size 20 --verify
 # 6. Montgomery-multiplier variant sweep (parity table, word sizes 13-16)

@@ -11,7 +11,14 @@ import pytest
 from msm_tpu.models.batched import compute_msm_batched
 from msm_tpu.models.cuzk import compute_msm_jpoint
 from msm_tpu.oracle.pyecc import Curve
-from msm_tpu.params import BLS12_377, BN254, PALLAS, MsmConfig
+from msm_tpu.params import (
+    BLS12_377,
+    BLS12_381,
+    BN254,
+    PALLAS,
+    SECP256K1,
+    MsmConfig,
+)
 
 
 def _sample(cv, n, seed):
@@ -30,13 +37,46 @@ def test_batched_msm_matches_oracle():
         assert cv.eq(g, want)
 
 
-@pytest.mark.parametrize("curve", [BLS12_377, PALLAS], ids=lambda c: c.name)
+@pytest.mark.parametrize(
+    "curve", [BLS12_377, PALLAS, BLS12_381, SECP256K1], ids=lambda c: c.name
+)
 def test_cuzk_msm_other_curves(curve):
     cv = Curve(curve)
     cfg = MsmConfig(curve=curve)
     pts, ks = _sample(cv, 50, seed=3)
     got = compute_msm_jpoint(pts, ks, cfg)
     want = cv.msm([cv.from_affine(*p) for p in pts], ks)
+    assert cv.eq(got, want)
+
+
+def test_full_width_order_digits_and_e2e():
+    """secp256k1's 256-bit order genuinely overflows sixteen signed chunk-16
+    windows (the top digit of a near-order scalar exceeds the 2^15+1 bucket
+    range); the (order_bits + 1)-bit window rule yields 17 subtasks and
+    keeps every digit in range. E2e asserts the extremal scalars still sum
+    correctly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from msm_tpu.ops.decompose import decompose_signed
+
+    cfg = MsmConfig(curve=SECP256K1)
+    assert cfg.num_subtasks == 17
+    r = SECP256K1.order
+    ks = [r - 1, r - 2, r >> 1, (1 << 255) % r, 1]
+    s_u16 = np.zeros((len(ks), 16), np.int32)
+    for i, k in enumerate(ks):
+        for j in range(16):
+            s_u16[i, j] = (k >> (16 * j)) & 0xFFFF
+    keys, _ = decompose_signed(
+        jnp.asarray(s_u16), cfg.chunk_size, cfg.num_subtasks
+    )
+    assert int(jnp.max(keys)) <= 1 << (cfg.chunk_size - 1)
+
+    cv = Curve(SECP256K1)
+    pts = [cv.to_affine(p) for p in cv.sample_points(len(ks), seed=6)]
+    got = compute_msm_jpoint(pts, ks, cfg)
+    want = cv.msm_naive([cv.from_affine(*p) for p in pts], ks)
     assert cv.eq(got, want)
 
 

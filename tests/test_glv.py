@@ -15,10 +15,19 @@ from msm_tpu.ops.glv import (
     decompose_signed_glv,
 )
 from msm_tpu.oracle.pyecc import Curve
-from msm_tpu.params import BLS12_377, BN254, PALLAS, MsmConfig
+from msm_tpu.params import (
+    BLS12_377,
+    BLS12_381,
+    BN254,
+    PALLAS,
+    SECP256K1,
+    MsmConfig,
+)
 
 
-@pytest.mark.parametrize("curve", [BN254, BLS12_377, PALLAS])
+@pytest.mark.parametrize(
+    "curve", [BN254, BLS12_377, PALLAS, BLS12_381, SECP256K1]
+)
 def test_glv_derivation(curve):
     g = glv_params(curve)
     r, q = curve.order, curve.modulus
@@ -36,29 +45,49 @@ def test_glv_derivation(curve):
     assert lhs == ((x * g.beta) % q, y)
 
 
-@pytest.mark.parametrize("curve", [BN254, BLS12_377])
+def _adversarial_scalars(g, r, extra=200, seed=3):
+    """Boundary + knife-edge scalars: k*b_j/r lands within ~2^-127 of a
+    half-integer, exactly where the M_BITS-truncated Babai candidate sits
+    one below the exact rounding — plus random bulk."""
+    ks = [0, 1, r - 1, g.lam, r - g.lam]
+    for b in (g.v2[1], -g.v1[1]):
+        for m in (0, 1, 2, 5, 11):
+            k = ((2 * m + 1) * r) // (2 * b)
+            ks += [(k + d) % r for d in (-1, 0, 1)]
+    rng = np.random.default_rng(seed)
+    ks += [int.from_bytes(rng.bytes(32), "little") % r for _ in range(extra)]
+    return ks
+
+
+@pytest.mark.parametrize(
+    "curve", [BN254, BLS12_377, PALLAS, BLS12_381, SECP256K1]
+)
 def test_glv_host_split(curve):
     g = glv_params(curve)
     r = curve.order
-    rng = np.random.default_rng(3)
-    ks = [0, 1, r - 1, g.lam, r - g.lam] + [
-        int.from_bytes(rng.bytes(32), "little") % r for _ in range(200)
-    ]
-    for k in ks:
+    for k in _adversarial_scalars(g, r):
         k1, k2 = split_scalar(k, g, r)
         assert (k1 + k2 * g.lam - k) % r == 0
+        # the EXACT-rounding bound: this is what proves the top signed
+        # window digit <= 2^15 (the 2^15+1 bucket range) for EVERY scalar
         assert abs(k1) <= g.max_component and abs(k2) <= g.max_component
         assert g.half_bits <= (r.bit_length() // 2 + 3)
+    cfg = MsmConfig(curve=curve, glv=True)
+    assert g.max_component < 1 << (cfg.chunk_size * cfg.num_subtasks - 1)
 
 
-def test_glv_device_split_matches_bounds():
-    cfg = MsmConfig(curve=BN254, glv=True)
-    g = glv_params(BN254)
-    r = BN254.order
-    rng = np.random.default_rng(4)
-    ks = [0, 1, r - 1, g.lam] + [
-        int.from_bytes(rng.bytes(32), "little") % r for _ in range(60)
-    ]
+@pytest.mark.parametrize(
+    "curve", [BN254, BLS12_377, PALLAS, BLS12_381, SECP256K1]
+)
+def test_glv_device_split_matches_host_exactly(curve):
+    """Device Babai split == exact-rounded host split, bit for bit — on
+    knife-edge scalars too (the remainder-corrected rounding makes both
+    sides compute round-half-up(k*b_j/r) exactly, so device == host is the
+    invariant, not merely congruence)."""
+    cfg = MsmConfig(curve=curve, glv=True)
+    g = glv_params(curve)
+    r = curve.order
+    ks = _adversarial_scalars(g, r, extra=60, seed=4)
     s_u16 = np.zeros((len(ks), 16), np.int32)
     for i, k in enumerate(ks):
         for j in range(16):
@@ -73,10 +102,31 @@ def test_glv_device_split_matches_bounds():
             k1 = -k1
         if n2[i]:
             k2 = -k2
-        # congruence is what correctness needs; device rounding may differ
-        # from the host split by one basis vector, so only bound loosely
-        assert (k1 + k2 * g.lam - k) % r == 0, (i, k)
-        assert abs(k1) <= g.max_component and abs(k2) <= g.max_component
+        assert (k1, k2) == split_scalar(k, g, r), (i, k)
+
+
+def test_glv_decompose_digits_in_bucket_range():
+    """Every signed window digit of the device GLV decomposition stays in
+    the bucket range [0, 2^15] — including for knife-edge scalars whose
+    split components sit at the max_component bound (the round-1 design's
+    truncation slop could push the TOP window digit past the bucket count,
+    silently dropping points)."""
+    from msm_tpu.ops.glv import decompose_signed_glv
+
+    for curve in (BN254, SECP256K1):
+        cfg = MsmConfig(curve=curve, glv=True)
+        g = glv_params(curve)
+        r = curve.order
+        ks = _adversarial_scalars(g, r, extra=40, seed=5)
+        s_u16 = np.zeros((len(ks), 16), np.int32)
+        for i, k in enumerate(ks):
+            for j in range(16):
+                s_u16[i, j] = (k >> (16 * j)) & 0xFFFF
+        keys, _ = decompose_signed_glv(
+            jnp.asarray(s_u16), cfg.chunk_size, cfg.num_subtasks, cfg
+        )
+        assert int(jnp.max(keys)) <= 1 << (cfg.chunk_size - 1), curve.name
+        assert keys.shape[0] == cfg.num_subtasks
 
 
 def _msm_fixture(n, seed):
@@ -101,6 +151,44 @@ def test_glv_msm_e2e(chunk):
     cfg = MsmConfig(curve=BN254, chunk_size=chunk, glv=True)
     got = compute_msm_jpoint(pts, ks, config=cfg)
     assert cv.eq(got, best_msm(pts, ks))
+
+
+def test_glv_msm_e2e_secp256k1():
+    """secp256k1 — the GLV paper's own curve: a = 0, even-bit zero-slack
+    modulus (21 limbs), endomorphism derived numerically like the rest."""
+    from msm_tpu.models.cuzk import compute_msm_jpoint
+
+    cv = Curve(SECP256K1)
+    pts = [cv.to_affine(p) for p in cv.sample_points(33, seed=12)]
+    rng = np.random.default_rng(13)
+    ks = [
+        int.from_bytes(rng.bytes(32), "little") % SECP256K1.order
+        for _ in range(33)
+    ]
+    cfg = MsmConfig(curve=SECP256K1, chunk_size=8, glv=True)
+    got = compute_msm_jpoint(pts, ks, cfg)
+    want = cv.msm([cv.from_affine(*p) for p in pts], ks)
+    assert cv.eq(got, want)
+
+
+@pytest.mark.parametrize("curve", [PALLAS, BLS12_381], ids=lambda c: c.name)
+def test_glv_msm_e2e_more_curves(curve):
+    """Pallas (negative reduced-basis signs pre-normalization) and
+    BLS12-381 (dense 255-bit order — the remainder window that misfires
+    with a sloppy guard) through the full GLV pipeline."""
+    from msm_tpu.models.cuzk import compute_msm_jpoint
+
+    cv = Curve(curve)
+    pts = [cv.to_affine(p) for p in cv.sample_points(29, seed=14)]
+    rng = np.random.default_rng(15)
+    ks = [
+        int.from_bytes(rng.bytes(32), "little") % curve.order
+        for _ in range(29)
+    ]
+    cfg = MsmConfig(curve=curve, chunk_size=8, glv=True)
+    got = compute_msm_jpoint(pts, ks, cfg)
+    want = cv.msm([cv.from_affine(*p) for p in pts], ks)
+    assert cv.eq(got, want)
 
 
 def test_glv_msm_e2e_bls12_377():
