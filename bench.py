@@ -114,6 +114,8 @@ def bench_sharded(args) -> None:
     sharded program + measurement plumbing (the efficiency number itself is
     only meaningful on real chips).
     """
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -124,8 +126,31 @@ def bench_sharded(args) -> None:
 
     D = args.sharded
     assert D & (D - 1) == 0, "shard count must be a power of two"
+    multihost = bool(args.multihost)
+    if multihost:
+        # N-hosts row (BASELINE.md): join the jax.distributed runtime BEFORE
+        # any backend touch. On TPU pods everything auto-detects; the CPU
+        # plumbing test drives it via MSM_TPU_{COORD,NPROCS,PID,CPU_DEVICES}.
+        from msm_tpu.parallel.multihost import init_multihost
+
+        if os.environ.get("MSM_TPU_CPU_DEVICES"):
+            jax.config.update(
+                "jax_num_cpu_devices", int(os.environ["MSM_TPU_CPU_DEVICES"])
+            )
+        kw = {}
+        if os.environ.get("MSM_TPU_COORD"):
+            kw = dict(
+                coordinator_address=os.environ["MSM_TPU_COORD"],
+                num_processes=int(os.environ["MSM_TPU_NPROCS"]),
+                process_id=int(os.environ["MSM_TPU_PID"]),
+            )
+        init_multihost(**kw)
+        assert D == len(jax.devices()), (
+            f"--multihost measures the full global mesh: pass --sharded "
+            f"{len(jax.devices())}"
+        )
     platform = jax.devices()[0].platform
-    if len(jax.devices()) < D:
+    if not multihost and len(jax.devices()) < D:
         import jax.extend.backend as _jb
 
         jax.config.update("jax_platforms", "cpu")
@@ -139,17 +164,28 @@ def bench_sharded(args) -> None:
     muls = cfg.num_subtasks * n * 13  # scan madds x RCB16-alg8 mont-muls
 
     rows = []
-    for d in sorted({1, D}):
+    # multihost: a sub-mesh of one chip would leave other processes without
+    # addressable shards, so measure the full global mesh only (the 1-chip
+    # reference row comes from the single-host invocation of this command)
+    for d in ([D] if multihost else sorted({1, D})):
         mesh = default_mesh(jax.devices()[:d])
         geom = pick_geometry(
             x_u16.shape[0] // d, cfg.chunk_size, compress=cfg.compress
         )
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        if multihost:
+            # each process materializes only its addressable shards
+            from msm_tpu.parallel.multihost import shard_global_inputs
 
-        sh = NamedSharding(mesh, P("data", None))
-        xd = jax.device_put(jnp.asarray(x_u16), sh)
-        yd = jax.device_put(jnp.asarray(y_u16), sh)
-        sd = jax.device_put(jnp.asarray(s_u16), sh)
+            xd, yd, sd = shard_global_inputs(
+                mesh, "data", x_u16, y_u16, s_u16
+            )
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(mesh, P("data", None))
+            xd = jax.device_put(jnp.asarray(x_u16), sh)
+            yd = jax.device_put(jnp.asarray(y_u16), sh)
+            sd = jax.device_put(jnp.asarray(s_u16), sh)
         ws = sharded_window_sums(xd, yd, sd, cfg, geom, mesh, "data")
         np.asarray(ws)  # compile + warm (fetch synchronizes)
         if args.verify:
@@ -175,6 +211,21 @@ def bench_sharded(args) -> None:
         })
         print(f"[bench] D={d}: {t*1e3:.1f} ms, "
               f"{muls/t/d/1e9:.2f} G muls/s/chip", file=sys.stderr)
+    if multihost:
+        # one JSON line from process 0 only; efficiency vs 1 chip is
+        # computed offline against the single-host row of this command
+        if jax.process_index() == 0:
+            r = rows[-1]
+            print(json.dumps({
+                "metric": (f"bn254_msm_2^{args.size}_multihost"
+                           f"_{jax.process_count()}hosts_{D}chips"),
+                "value": r["field_muls_per_sec_per_chip"],
+                "unit": "field_muls_per_sec_per_chip",
+                "vs_baseline": 0.0,  # combine with the 1-chip row offline
+                "platform": platform,
+                "detail": rows,
+            }))
+        return
     base = rows[0]["field_muls_per_sec_per_chip"]
     eff = rows[-1]["field_muls_per_sec_per_chip"] / base if base else 0.0
     print(json.dumps({
@@ -242,6 +293,10 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--sharded", type=int, default=0, metavar="D",
                     help="scaling-efficiency mode over D shards")
+    ap.add_argument("--multihost", action="store_true",
+                    help="with --sharded: join jax.distributed first and "
+                    "measure the full global mesh (run the SAME command on "
+                    "every host of the pod; the BASELINE 'N hosts' row)")
     ap.add_argument("--batched", type=int, default=0, metavar="B",
                     help="batched-MSM mode: B independent instances")
     args = ap.parse_args()

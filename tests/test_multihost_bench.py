@@ -1,0 +1,72 @@
+"""Plumbing validation for the multi-host scaling-bench artifact.
+
+``python bench.py --sharded D --multihost`` is the BASELINE.md "N hosts"
+measurement command, meant to run unchanged (SPMD) on every host of a pod
+slice. This test drives it with 2 real OS processes x 2 CPU devices
+(localhost coordinator via the MSM_TPU_* env overrides) and asserts process
+0 emits the one-line JSON artifact with a sane per-chip throughput row —
+so the command is known-good before it ever sees pod hardware.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(ROOT, "bench.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_multihost_bench_two_processes():
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            MSM_TPU_COORD=f"localhost:{port}",
+            MSM_TPU_NPROCS="2",
+            MSM_TPU_PID=str(pid),
+            MSM_TPU_CPU_DEVICES="2",
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, BENCH, "--sharded", "4", "--multihost",
+                 "--size", "8", "--reps", "1"],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+                env=env,
+                cwd=ROOT,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"bench worker failed:\n{out}\n{err}"
+        outs.append(out)
+
+    # exactly one process (0) prints the JSON artifact
+    jsons = [
+        json.loads(line)
+        for out in outs
+        for line in out.splitlines()
+        if line.startswith("{")
+    ]
+    assert len(jsons) == 1, outs
+    rec = jsons[0]
+    assert rec["metric"] == "bn254_msm_2^8_multihost_2hosts_4chips"
+    assert rec["unit"] == "field_muls_per_sec_per_chip"
+    assert rec["value"] > 0
+    assert rec["detail"][0]["shards"] == 4
