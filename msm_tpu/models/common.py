@@ -71,7 +71,16 @@ def pad_inputs(
     gx, gy = cfg.curve.gx % cfg.curve.modulus, cfg.curve.gy % cfg.curve.modulus
     px = [p[0] for p in points] + [gx] * (N - n)
     py = [p[1] for p in points] + [gy] * (N - n)
-    ks = list(scalars) + [0] * (N - n)
+    ks = list(scalars)
+    # scalar domain: the signed-window geometry proves its top-digit bound
+    # only for k < order (the reference's Fr type enforces this statically,
+    # lib.rs:20-24; a raw out-of-range int here would overflow the top
+    # bucket index SILENTLY). Reduce only when violated — the common case
+    # pays one compare per scalar, not a bigint mod.
+    order = cfg.curve.order
+    if any(k < 0 or k >= order for k in ks):
+        ks = [k % order for k in ks]
+    ks = ks + [0] * (N - n)
     nb = (cfg.scalar_bits + 7) // 8
     cb = (cfg.curve.modulus_bits + 7) // 8
     cb = max(cb, 2)

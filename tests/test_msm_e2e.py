@@ -89,6 +89,20 @@ def test_cuzk_msm_random_size():
     assert CV.eq(got, want), f"random size n={n}"
 
 
+def test_cuzk_msm_out_of_range_scalars():
+    """Raw int scalars >= order (or negative) must reduce mod the group
+    order instead of silently overflowing the top signed window — the
+    reference's Fr type enforces the domain statically (lib.rs:20-24);
+    the int API has to do it at the pad boundary."""
+    r = BN254.order
+    pts, _ = _fixture(8, seed=12)
+    ks = [r, r + 5, 2 * r - 1, (1 << 256) - 1, -3, r - 1, 0, 7]
+    cfg = MsmConfig(curve=BN254, chunk_size=8)
+    got = compute_msm_jpoint(pts, ks, config=cfg)
+    want = CV.msm([CV.from_affine(*p) for p in pts], [k % r for k in ks])
+    assert CV.eq(got, want)
+
+
 def test_cuzk_msm_32bit_scalars():
     """Small-scalar inputs (reference sample_32_bit_scalars, lib.rs:25-33):
     every window above the low two lands in bucket 0 — a distinct edge-case
