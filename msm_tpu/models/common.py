@@ -76,7 +76,11 @@ def pad_inputs(
     # only for k < order (the reference's Fr type enforces this statically,
     # lib.rs:20-24; a raw out-of-range int here would overflow the top
     # bucket index SILENTLY). Reduce only when violated — the common case
-    # pays one compare per scalar, not a bigint mod.
+    # pays one compare per scalar, not a bigint mod. Contract note: like
+    # the reference, points must lie in the prime-order subgroup (all
+    # shipped G1 generators do); k = k mod order is only an identity
+    # there, so cofactor>1 curve points OUTSIDE the subgroup are
+    # out-of-contract either way.
     order = cfg.curve.order
     if any(k < 0 or k >= order for k in ks):
         ks = [k % order for k in ks]

@@ -165,7 +165,6 @@ def _u16_words(v: int, n: int) -> np.ndarray:
     return np.array([(v >> (16 * i)) & 0xFFFF for i in range(n)], np.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
 def split_scalars_device(s_u16: jax.Array, cfg) -> tuple[
     jax.Array, jax.Array, jax.Array, jax.Array
 ]:
@@ -173,12 +172,23 @@ def split_scalars_device(s_u16: jax.Array, cfg) -> tuple[
 
     In: [n, 16] u16 words (LE) of k < r.
     Out: (k1_u16 [n, W], neg1 [n] bool, k2_u16 [n, W], neg2 [n] bool) with
-    W = 16 half-scalar words... actually ceil(half_bits/16) words of |k_i|.
+    W = ceil((half_bits + 1)/16) words of |k_i|.
 
     All products are exact: u16 words split to 8-bit halves so every
     int32 lane accumulation stays < 2^22 before carry propagation.
     """
-    glv = glv_params(cfg.curve)
+    return _split_scalars_device(s_u16, cfg, glv_params(cfg.curve))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "glv"))
+def _split_scalars_device(
+    s_u16: jax.Array, cfg, glv: GlvParams
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """split_scalars_device with the GlvParams injected — tests degrade the
+    g_j multipliers (g_j - 2^62 keeps candidates within one of exact) to
+    force the rounding-correction branch on a measurable fraction of rows,
+    which no practically-findable scalar does for the true g_j (the natural
+    trigger window is ~2^-66 wide)."""
     n = s_u16.shape[0]
     W = -(-(glv.half_bits + 1) // 16)  # |k_i| words (+1 bit headroom)
 
@@ -247,18 +257,22 @@ def split_scalars_device(s_u16: jax.Array, cfg) -> tuple[
 
     # --- exact-rounding correction (mirrors split_scalar): the floored g_j
     # leaves c_j at most ONE below round-half-up(k*b_j/r). Detect via the
-    # remainder t = k*b_j - c_j*r computed mod 2^256: an exact candidate
-    # gives t in (-r/2, r/2]; a one-low candidate gives t in (r/2, 3r/2].
-    # The upper guard must be exactly 3r/2: negative t wraps above
-    # 2^256 - r/2, which exceeds 3r/2 for every r < 2^255 but NOT 2r when
-    # the order is dense in 255 bits (BLS12-381: 2^256 - r/2 < 2r, so a 2r
-    # guard would misfire on t near -r/2). "r/2 < t <= 3r/2" flags exactly
-    # the rows needing c_j += 1. This makes |k_i| <= max_component RIGOROUS
-    # — and
+    # remainder t = k*b_j - c_j*r computed in a mod-2^(16*RW) window: an
+    # exact candidate gives t in (-r/2, r/2]; a one-low candidate gives
+    # t in (r/2, 3r/2]. The upper guard must be exactly 3r/2 — negative t
+    # wraps above 2^(16*RW) - r/2, which exceeds 3r/2 for every supported
+    # order but NOT 2r when the order is dense (BLS12-381: 2^256 - r/2 <
+    # 2r, so a 2r guard misfires on t near -r/2). "r/2 < t <= 3r/2" flags
+    # exactly the rows needing c_j += 1. This makes |k_i| <= max_component
+    # RIGOROUS — and
     # with it the top signed window digit <= 2^15 for every input scalar,
     # not just generically random ones.
     r_int = int(cfg.curve.order)
-    RW = 16  # remainder words: 3r/2 < 2^255 for every supported order
+    # remainder window: 17 words (272 bits), NOT 16 — the guard constant
+    # 3r/2 exceeds 2^256 for a full 256-bit order (secp256k1), and a
+    # truncated constant would disable the correction exactly where it
+    # matters. 2^272 - r/2 > 3r/2 keeps the wrap disjoint for all r < 2^256.
+    RW = 17
 
     def add_words(a, b, width):
         out = []

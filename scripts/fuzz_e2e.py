@@ -43,6 +43,10 @@ def main() -> None:
     trial = 0
     while time.time() < deadline:
         trial += 1
+        if trial % 10 == 0:
+            # every trial compiles fresh programs (unique config); the jit
+            # caches otherwise accumulate until LLVM OOMs (~40 trials/125GB)
+            jax.clear_caches()
         curve = CURVES[rng.choice(sorted(CURVES))]
         chunk = int(rng.choice([4, 8, 13, 16]))
         word_size = int(rng.choice([12, 13]))

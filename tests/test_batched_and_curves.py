@@ -64,10 +64,9 @@ def test_full_width_order_digits_and_e2e():
     assert cfg.num_subtasks == 17
     r = SECP256K1.order
     ks = [r - 1, r - 2, r >> 1, (1 << 255) % r, 1]
-    s_u16 = np.zeros((len(ks), 16), np.int32)
-    for i, k in enumerate(ks):
-        for j in range(16):
-            s_u16[i, j] = (k >> (16 * j)) & 0xFFFF
+    from msm_tpu.models.common import ints_to_u16_array
+
+    s_u16 = ints_to_u16_array([k % (1 << 256) for k in ks])
     keys, _ = decompose_signed(
         jnp.asarray(s_u16), cfg.chunk_size, cfg.num_subtasks
     )

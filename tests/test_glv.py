@@ -46,9 +46,12 @@ def test_glv_derivation(curve):
 
 
 def _adversarial_scalars(g, r, extra=200, seed=3):
-    """Boundary + knife-edge scalars: k*b_j/r lands within ~2^-127 of a
-    half-integer, exactly where the M_BITS-truncated Babai candidate sits
-    one below the exact rounding — plus random bulk."""
+    """Boundary scalars (0, 1, r-1, lambda) + half-integer-adjacent k
+    (k*b_j/r within ~2^-127 of a half-integer — the t ~ +-r/2 remainder
+    extremes) + random bulk. NOTE: these do NOT reach the rounding-
+    correction branch (its natural trigger window is ~2^-66 wide and not
+    constructable by small search); that branch is exercised by
+    test_glv_rounding_correction_fires via degraded multipliers."""
     ks = [0, 1, r - 1, g.lam, r - g.lam]
     for b in (g.v2[1], -g.v1[1]):
         for m in (0, 1, 2, 5, 11):
@@ -88,10 +91,9 @@ def test_glv_device_split_matches_host_exactly(curve):
     g = glv_params(curve)
     r = curve.order
     ks = _adversarial_scalars(g, r, extra=60, seed=4)
-    s_u16 = np.zeros((len(ks), 16), np.int32)
-    for i, k in enumerate(ks):
-        for j in range(16):
-            s_u16[i, j] = (k >> (16 * j)) & 0xFFFF
+    from msm_tpu.models.common import ints_to_u16_array
+
+    s_u16 = ints_to_u16_array([k % (1 << 256) for k in ks])
     a1, n1, a2, n2 = split_scalars_device(jnp.asarray(s_u16), cfg)
     a1, n1, a2, n2 = map(np.asarray, (a1, n1, a2, n2))
     W = a1.shape[1]
@@ -103,6 +105,60 @@ def test_glv_device_split_matches_host_exactly(curve):
         if n2[i]:
             k2 = -k2
         assert (k1, k2) == split_scalar(k, g, r), (i, k)
+
+
+@pytest.mark.parametrize(
+    "curve", [BN254, BLS12_377, PALLAS, BLS12_381, SECP256K1]
+)
+def test_glv_rounding_correction_fires(curve):
+    """Force the device rounding-correction branch and prove it lands on
+    the exact split. True multipliers trigger it only in a ~2^-66-wide
+    window (unfindable by search), so inject DEGRADED multipliers
+    g_j - 2^62: the candidate error k*(theta + 2^62)/2^320 stays < 1 (so
+    candidates remain within one of exact) but now a measurable fraction
+    of random scalars need the +1 correction. The corrected device split
+    must STILL equal the exact host split computed from the remainder —
+    this is precisely the property that keeps |k_i| <= max_component.
+
+    Also guards the remainder-window width: with RW words the guard
+    constant 3r/2 must be representable (a 16-word window truncates it
+    for secp256k1's 256-bit order, silently disabling the correction)."""
+    from dataclasses import replace as dreplace
+
+    from msm_tpu.ops.glv import M_BITS, _split_scalars_device
+
+    cfg = MsmConfig(curve=curve, glv=True)
+    g = glv_params(curve)
+    r = curve.order
+    E = 1 << 62
+    bad = dreplace(g, g1=g.g1 - E, g2=g.g2 - E)
+    rng = np.random.default_rng(11)
+    ks = [int.from_bytes(rng.bytes(32), "little") % r for _ in range(160)]
+    # host-side count of degraded candidates that genuinely need the
+    # correction — the test is vacuous unless some do
+    half = 1 << (M_BITS - 1)
+    fires = sum(
+        2 * (k * b - ((k * gj + half) >> M_BITS) * r) > r
+        for k in ks
+        for gj, b in ((bad.g1, g.v2[1]), (bad.g2, -g.v1[1]))
+    )
+    assert fires > 0, "degraded multipliers never triggered — raise E"
+
+    from msm_tpu.models.common import ints_to_u16_array
+
+    s_u16 = ints_to_u16_array(ks)
+    a1, n1, a2, n2 = map(
+        np.asarray, _split_scalars_device(jnp.asarray(s_u16), cfg, bad)
+    )
+    W = a1.shape[1]
+    for i, k in enumerate(ks):
+        k1 = sum(int(a1[i, j]) << (16 * j) for j in range(W))
+        k2 = sum(int(a2[i, j]) << (16 * j) for j in range(W))
+        if n1[i]:
+            k1 = -k1
+        if n2[i]:
+            k2 = -k2
+        assert (k1, k2) == split_scalar(k, g, r), (i, k, fires)
 
 
 def test_glv_decompose_digits_in_bucket_range():
@@ -118,10 +174,9 @@ def test_glv_decompose_digits_in_bucket_range():
         g = glv_params(curve)
         r = curve.order
         ks = _adversarial_scalars(g, r, extra=40, seed=5)
-        s_u16 = np.zeros((len(ks), 16), np.int32)
-        for i, k in enumerate(ks):
-            for j in range(16):
-                s_u16[i, j] = (k >> (16 * j)) & 0xFFFF
+        from msm_tpu.models.common import ints_to_u16_array
+
+        s_u16 = ints_to_u16_array([k % (1 << 256) for k in ks])
         keys, _ = decompose_signed_glv(
             jnp.asarray(s_u16), cfg.chunk_size, cfg.num_subtasks, cfg
         )
@@ -237,10 +292,9 @@ def test_glv_decompose_digits_reconstruct():
     assert S == 8, S  # the headline halving vs 16
     rng = np.random.default_rng(5)
     ks = [int.from_bytes(rng.bytes(32), "little") % r for _ in range(40)]
-    s_u16 = np.zeros((len(ks), 16), np.int32)
-    for i, k in enumerate(ks):
-        for j in range(16):
-            s_u16[i, j] = (k >> (16 * j)) & 0xFFFF
+    from msm_tpu.models.common import ints_to_u16_array
+
+    s_u16 = ints_to_u16_array([k % (1 << 256) for k in ks])
     keys, signs = decompose_signed_glv(jnp.asarray(s_u16), c, S, cfg)
     keys, signs = np.asarray(keys), np.asarray(signs)
     n = len(ks)

@@ -52,10 +52,16 @@ def test_multihost_bench_two_processes():
             )
         )
     outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=900)
-        assert p.returncode == 0, f"bench worker failed:\n{out}\n{err}"
-        outs.append(out)
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=900)
+            assert p.returncode == 0, f"bench worker failed:\n{out}\n{err}"
+            outs.append(out)
+    finally:
+        for p in procs:  # never orphan the peer blocked in distributed init
+            if p.poll() is None:
+                p.kill()
+                p.wait()
 
     # exactly one process (0) prints the JSON artifact
     jsons = [
