@@ -66,34 +66,42 @@ DEFAULT_TILE = 1024
 
 
 def _ripple_eq_p(a: jax.Array, b: jax.Array, q64, w: int, mask: int):
-    """[1, T] boolean: value(a) + value(b) == p for CANONICAL limb rows
+    """[1, T] int32 0/1: value(a) + value(b) == p for CANONICAL limb rows
     a, b ([L, T]). Ripple the sum once (carries in {0, 1}) and compare
-    against the static modulus limbs."""
+    against the static modulus limbs.
+
+    Predicates stay in int32 lanes throughout this module: Mosaic on the
+    hardware stack rejects ``arith.trunci i8 -> i1`` (boolean selects
+    store as i8, re-masking truncates), so bool-valued ``jnp.where`` is
+    forbidden in-kernel — comparisons may only form i1 masks at the
+    final int32-select site (the ``!= 0`` idiom the scan kernel uses)."""
     L = a.shape[0]
     carry = jnp.zeros_like(a[0:1])
     ok = None
     for j in range(L):
         v = a[j : j + 1] + b[j : j + 1] + carry
-        e = (v & mask) == int(q64[j])
+        e = ((v & mask) == int(q64[j])).astype(jnp.int32)
         ok = e if ok is None else (ok & e)
         carry = v >> w
-    return ok & (carry == 0)
+    return ok & (carry == 0).astype(jnp.int32)
 
 
 def _pair_predicates(cfg: MsmConfig, x1, y1, s1, x2, y2, s2):
-    """(same_x, doubling, inf) for canonical coords + 0/1 sign rows.
+    """(same_x, doubling, inf) int32 0/1 rows for canonical coords +
+    0/1 sign rows.
 
     e1 == e2  <=> x1==x2 and (s1==s2 ? y1==y2 : y1+y2==p)
     e1 == -e2 <=> x1==x2 and (s1!=s2 ? y1==y2 : y1+y2==p)
     """
     w, mask = cfg.word_size, cfg.mask
     q64 = int_to_limbs(cfg.curve.modulus, w, cfg.num_words).astype(np.int64)
-    same_x = jnp.all(x1 == x2, axis=0, keepdims=True)
-    same_y = jnp.all(y1 == y2, axis=0, keepdims=True)
+    same_x = jnp.all(x1 == x2, axis=0, keepdims=True).astype(jnp.int32)
+    same_y = jnp.all(y1 == y2, axis=0, keepdims=True).astype(jnp.int32)
     ysum_p = _ripple_eq_p(y1, y2, q64, w, mask)
-    same_s = s1 == s2
-    dbl = same_x & jnp.where(same_s, same_y, ysum_p)
-    inf = same_x & jnp.where(same_s, ysum_p, same_y)
+    same_s = (s1 == s2).astype(jnp.int32)
+    not_s = 1 - same_s
+    dbl = same_x & (same_s * same_y + not_s * ysum_p)
+    inf = same_x & (same_s * ysum_p + not_s * same_y)
     return same_x, dbl, inf
 
 
@@ -182,9 +190,9 @@ def _pair_denominator(cfg, rm, x1, y1p, x2, dbl, inf):
     w, mask = cfg.word_size, cfg.mask
     d_add = _sweep_cols(x2 - x1, w, mask)
     d_dbl = _sweep_cols(y1p + y1p, w, mask)
-    d = jnp.where(dbl, d_dbl, d_add)
+    d = jnp.where(dbl != 0, d_dbl, d_add)
     rmb = rm[:] + jnp.zeros_like(d)
-    return jnp.where(inf, rmb, d)
+    return jnp.where(inf != 0, rmb, d)
 
 
 @functools.lru_cache(maxsize=None)
@@ -229,7 +237,7 @@ def make_pair_backward(
         x1sq = f_mul(x1, x1)
         num_dbl = f_add(f_add_raw(x1sq, x1sq), x1sq)  # 3*x1^2
         num_add = _sweep_cols(y2p - y1p, w, mask)
-        num = jnp.where(dbl, num_dbl, num_add)
+        num = jnp.where(dbl != 0, num_dbl, num_add)
         # m_{j-1} for pair j = rev(c); the first pair (j == 0, i.e. the
         # LAST grid step) substitutes mont-one — mprev's index map clamps
         # its read to row 0 there, which this select discards
@@ -242,7 +250,7 @@ def make_pair_backward(
         run[:] = f_mul(run[:], d)
         ox[0] = x3
         oy[0] = y3
-        oinf[0] = inf.astype(jnp.int32)
+        oinf[0] = inf
 
     def backward(gxy, sg, m, minv):
         assert gxy.shape == (2 * Cp, 2 * D, R), gxy.shape
