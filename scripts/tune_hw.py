@@ -27,6 +27,8 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--quick", action="store_true",
                     help="only base vs glv+compress at default rows")
+    ap.add_argument("--only", default="",
+                    help="comma-separated variant-name filter")
     ap.add_argument("--verify", action="store_true")
     args = ap.parse_args()
 
@@ -73,6 +75,9 @@ def main() -> None:
     ]
     if args.quick:
         variants = [variants[0], variants[3]]
+    if args.only:
+        keep = set(args.only.split(","))
+        variants = [v for v in variants if v[0] in keep]
 
     want = None
     if args.verify:
