@@ -324,16 +324,19 @@ def compress_pairs(
     """Compress the sorted dense stream gxy [C, 2D, R] + signs [C, 1, R]
     (C even) into (cx, cy, inf): [C/2, L, R] balanced affine pair sums +
     [C/2, 1, R] infinity flags. See module docstring for the 3 passes."""
-    from msm_tpu.ops.field import get_field_ctx
+    from msm_tpu.ops.pallas_inv import make_mont_pow
 
     C, _, R = gxy.shape
     assert C % 2 == 0, C
     Cp = C // 2
     L = cfg.num_words
     m = make_pair_forward(cfg, Cp, R, interpret=interpret)(gxy, sg)
-    f = get_field_ctx(cfg)
-    # Fermat inversion of the final products, batched over lanes ([R, L])
-    minv = f.mont_pow(m[-1].T, cfg.curve.modulus - 2).T
+    # Fermat inversion of the final products: the in-VMEM chain kernel
+    # (ops/pallas_inv.py) — the XLA mont_pow route costs ~60-126 ms per
+    # 2^20 MSM in sequential 80 KB HBM round-trips
+    minv = make_mont_pow(
+        cfg, R, cfg.curve.modulus - 2, interpret=interpret
+    )(m[-1])
     return make_pair_backward(cfg, Cp, R, interpret=interpret)(
-        gxy, sg, m, minv.astype(jnp.int32)
+        gxy, sg, m, minv
     )

@@ -184,3 +184,44 @@ def test_compress_pairs_other_curves(interpret_mode, curve_name):
                 vy = limbs_to_int(cy[cp, :, r].astype(np.int64), cfg.word_size)
                 assert (vx * rinv) % p == sx, (r, cp)
                 assert (vy * rinv) % p == sy, (r, cp)
+
+
+def test_mont_pow_kernel_vs_field_ctx(interpret_mode):
+    """The in-VMEM Fermat-inversion kernel (ops/pallas_inv.py) must match
+    FieldCtx.mont_pow bit-for-bit after canonicalization, including the
+    Montgomery-domain contract pow(aR, p-2) = a^{-1} R."""
+    from msm_tpu.ops.field import get_field_ctx
+    from msm_tpu.ops.pallas_inv import make_mont_pow
+
+    cfg = MsmConfig(curve=BN254)
+    f = get_field_ctx(cfg)
+    L = cfg.num_words
+    R = 128
+    rng = np.random.default_rng(3)
+    vals = [int(rng.integers(1, 2**62)) ** 4 % BN254.modulus for _ in range(R)]
+    vals[0] = 1
+    vals[1] = BN254.modulus - 1
+    a = jnp.asarray(
+        np.stack(
+            [
+                np.array(
+                    [(v * cfg.r % BN254.modulus >> (cfg.word_size * j))
+                     & cfg.mask for j in range(L)],
+                    np.int64,
+                )
+                for v in vals
+            ],
+            axis=1,
+        ),
+        jnp.int32,
+    )  # [L, R] Montgomery-form canonical limbs
+    e = BN254.modulus - 2
+    got = make_mont_pow(cfg, R, e, interpret=True)(a)
+    want = f.mont_pow(a.T, e).T
+    gc = np.asarray(f.canonical(got.T))
+    wc = np.asarray(f.canonical(want.T))
+    assert (gc == wc).all()
+    # value check: inv in Montgomery domain
+    for r in range(0, R, 13):
+        v = limbs_to_int(gc[r].astype(np.int64), cfg.word_size)
+        assert v == pow(vals[r], -1, BN254.modulus) * cfg.r % BN254.modulus
