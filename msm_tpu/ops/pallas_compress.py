@@ -315,6 +315,258 @@ def make_pair_backward(
     return backward
 
 
+@functools.lru_cache(maxsize=None)
+def make_pair_suffix(
+    cfg: MsmConfig, Cp: int, R: int, tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+):
+    """Suffix chain (reverse grid): gxy [2*Cp, 2D, R] dense + sg
+    [2*Cp, 1, R] -> s [Cp, L, R] with s_j = d_j * d_{j+1} * ... *
+    d_{Cp-1} (inclusive suffix products of the pair denominators per
+    lane). The forward-direction batched inversion identity the fused
+    emit+scan kernel consumes is
+
+        inv(d_j) = t_j * s_{j+1},   t_{j+1} = t_j * d_j,
+        t_0 = inv(s_0),             s_{Cp}  = 1,
+
+    i.e. ONE inversion per lane and a forward-running t — which lets the
+    pair emission run in the SAME direction as the prefix scan and hence
+    fuse with it (the classic backward-emission formulation forces a
+    separate reverse pass, ~+60 ms per 2^20 MSM in kernel I/O + grid)."""
+    tile = min(tile, R)
+    L, D = cfg.num_words, coord_words(cfg)
+    q_np = int_to_limbs(cfg.curve.modulus, cfg.word_size, L).astype(
+        np.int32
+    )[:, None]
+    rm_np = int_to_limbs(cfg.r, cfg.word_size, L).astype(np.int32)[:, None]
+
+    def kernel(q, rm, g1, g2, s1, s2, os, run, mont_acc):
+        c = pl.program_id(1)
+        _, _, f_mul, _, _ = _make_field_ops(cfg, q[:], mont_acc)
+
+        @pl.when(c == 0)  # first grid step = LAST pair (reverse index map)
+        def _():
+            run[:] = rm[:] + jnp.zeros_like(run)
+
+        qb = q[:] + jnp.zeros((L, tile), jnp.int32)
+        x1, y1 = _unpack_dense(g1[0][:D], cfg), _unpack_dense(g1[0][D:], cfg)
+        x2, y2 = _unpack_dense(g2[0][:D], cfg), _unpack_dense(g2[0][D:], cfg)
+        _, dbl, inf = _pair_predicates(cfg, x1, y1, s1[0], x2, y2, s2[0])
+        y1p = _signed_y(y1, s1[0], qb)
+        d = _pair_denominator(cfg, rm, x1, y1p, x2, dbl, inf)
+        s = f_mul(run[:], d)
+        run[:] = s
+        os[0] = s
+
+    def suffix(gxy, sg):
+        assert gxy.shape == (2 * Cp, 2 * D, R), gxy.shape
+        assert sg.shape == (2 * Cp, 1, R), sg.shape
+        assert R % tile == 0
+        grid = (R // tile, Cp)
+        rev = lambda c: Cp - 1 - c
+        gspec1 = pl.BlockSpec(
+            (1, 2 * D, tile), lambda r, c: (2 * rev(c), 0, r),
+            memory_space=pltpu.VMEM,
+        )
+        gspec2 = pl.BlockSpec(
+            (1, 2 * D, tile), lambda r, c: (2 * rev(c) + 1, 0, r),
+            memory_space=pltpu.VMEM,
+        )
+        sspec1 = pl.BlockSpec(
+            (1, 1, tile), lambda r, c: (2 * rev(c), 0, r),
+            memory_space=pltpu.VMEM,
+        )
+        sspec2 = pl.BlockSpec(
+            (1, 1, tile), lambda r, c: (2 * rev(c) + 1, 0, r),
+            memory_space=pltpu.VMEM,
+        )
+        cspec = pl.BlockSpec(
+            (L, 1), lambda r, c: (0, 0), memory_space=pltpu.VMEM
+        )
+        ospec = pl.BlockSpec(
+            (1, L, tile), lambda r, c: (rev(c), 0, r),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[cspec, cspec, gspec1, gspec2, sspec1, sspec2],
+            out_specs=ospec,
+            out_shape=jax.ShapeDtypeStruct((Cp, L, R), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((L, tile), jnp.int32),
+                pltpu.VMEM((2 * L + 1, tile), jnp.int32),
+            ],
+            interpret=interpret,
+        )(jnp.asarray(q_np), jnp.asarray(rm_np), gxy, gxy, sg, sg)
+
+    return suffix
+
+
+@functools.lru_cache(maxsize=None)
+def make_emit_scan(
+    cfg: MsmConfig, Cp: int, R: int, tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+):
+    """Fused pair-emission + prefix point-scan (forward grid).
+
+    Per step j: recompute (d, num, predicates) from the gxy pair blocks,
+    inv_d = t * s_{j+1} (s from make_pair_suffix, t the running inverse in
+    VMEM scratch), emit the affine pair sum (x3, y3) in-register, and
+    immediately RCB16-mixed-add it into the running point prefix —
+    replacing the separate backward-emit kernel + limbs-mode scan kernel
+    (their intermediate cx/cy/inf arrays, ~84 MB/subtask of HBM traffic,
+    and one full grid of per-step overhead). Infinity pairs (P + (-P))
+    pass the accumulator through, keeping the compressed prefix an exact
+    prefix of the source stream.
+
+    Outputs: the inclusive point prefixes [Cp, L, R] x 3 (Montgomery
+    projective, balanced limbs) — identical contract to
+    pallas_scan.make_scan_rows."""
+    tile = min(tile, R)
+    L, D = cfg.num_words, coord_words(cfg)
+    w, mask = cfg.word_size, cfg.mask
+    q_np = int_to_limbs(cfg.curve.modulus, w, L).astype(np.int32)[:, None]
+    rm_np = int_to_limbs(cfg.r, w, L).astype(np.int32)[:, None]
+    from msm_tpu.ops.pallas_curve import aux_b3_limbs
+    from msm_tpu.ops.pallas_scan import _rcb16_madd
+
+    aux_np = aux_b3_limbs(cfg)
+    madd = _rcb16_madd(cfg)
+
+    def kernel(
+        q, b3m, rm, g1, g2, s1, s2, snext, t0, ox, oy, oz,
+        tinv, accx, accy, accz, mont_acc,
+    ):
+        c = pl.program_id(1)
+        f_add, f_sub, f_mul, f_add_raw, _ = _make_field_ops(
+            cfg, q[:], mont_acc
+        )
+
+        @pl.when(c == 0)
+        def _():
+            tinv[:] = t0[:]
+            accx[:] = jnp.zeros_like(accx)
+            accy[:] = rm[:] + jnp.zeros_like(accy)
+            accz[:] = jnp.zeros_like(accz)
+
+        qb = q[:] + jnp.zeros((L, tile), jnp.int32)
+        x1, y1 = _unpack_dense(g1[0][:D], cfg), _unpack_dense(g1[0][D:], cfg)
+        x2, y2 = _unpack_dense(g2[0][:D], cfg), _unpack_dense(g2[0][D:], cfg)
+        _, dbl, inf = _pair_predicates(cfg, x1, y1, s1[0], x2, y2, s2[0])
+        y1p = _signed_y(y1, s1[0], qb)
+        y2p = _signed_y(y2, s2[0], qb)
+        d = _pair_denominator(cfg, rm, x1, y1p, x2, dbl, inf)
+        x1sq = f_mul(x1, x1)
+        num_dbl = f_add(f_add_raw(x1sq, x1sq), x1sq)  # 3*x1^2
+        num_add = _sweep_cols(y2p - y1p, w, mask)
+        num = jnp.where(dbl != 0, num_dbl, num_add)
+        rmb = rm[:] + jnp.zeros((L, tile), jnp.int32)
+        snx = jnp.where(c == Cp - 1, rmb, snext[0])  # s_{Cp} = mont-one
+        inv_d = f_mul(tinv[:], snx)
+        lam = f_mul(num, inv_d)
+        x3 = f_sub(f_sub(f_mul(lam, lam), x1), x2)
+        y3 = f_sub(f_mul(lam, f_sub(x1, x3)), y1p)
+        tinv[:] = f_mul(tinv[:], d)
+        px, py, pz = madd(
+            q[:], b3m[:], mont_acc, accx[:], accy[:], accz[:], x3, y3
+        )
+        keep = inf != 0  # [1, tile]: infinity pair -> accumulator unchanged
+        px = jnp.where(keep, accx[:], px)
+        py = jnp.where(keep, accy[:], py)
+        pz = jnp.where(keep, accz[:], pz)
+        accx[:] = px
+        accy[:] = py
+        accz[:] = pz
+        ox[0] = px
+        oy[0] = py
+        oz[0] = pz
+
+    def emit_scan(gxy, sg, s, t0):
+        assert gxy.shape == (2 * Cp, 2 * D, R), gxy.shape
+        assert s.shape == (Cp, L, R), s.shape
+        assert t0.shape == (L, R), t0.shape
+        assert R % tile == 0
+        grid = (R // tile, Cp)
+        gspec1 = pl.BlockSpec(
+            (1, 2 * D, tile), lambda r, c: (2 * c, 0, r),
+            memory_space=pltpu.VMEM,
+        )
+        gspec2 = pl.BlockSpec(
+            (1, 2 * D, tile), lambda r, c: (2 * c + 1, 0, r),
+            memory_space=pltpu.VMEM,
+        )
+        sspec1 = pl.BlockSpec(
+            (1, 1, tile), lambda r, c: (2 * c, 0, r), memory_space=pltpu.VMEM
+        )
+        sspec2 = pl.BlockSpec(
+            (1, 1, tile), lambda r, c: (2 * c + 1, 0, r),
+            memory_space=pltpu.VMEM,
+        )
+        # step j reads s_{j+1}; clamped at the last step, where the kernel
+        # substitutes mont-one (the empty suffix product)
+        snspec = pl.BlockSpec(
+            (1, L, tile),
+            lambda r, c: (jnp.minimum(c + 1, Cp - 1), 0, r),
+            memory_space=pltpu.VMEM,
+        )
+        vspec = pl.BlockSpec(
+            (L, tile), lambda r, c: (0, r), memory_space=pltpu.VMEM
+        )
+        cspec = pl.BlockSpec(
+            (L, 1), lambda r, c: (0, 0), memory_space=pltpu.VMEM
+        )
+        ospec = pl.BlockSpec(
+            (1, L, tile), lambda r, c: (c, 0, r), memory_space=pltpu.VMEM
+        )
+        shp = jax.ShapeDtypeStruct((Cp, L, R), jnp.int32)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                cspec, cspec, cspec, gspec1, gspec2, sspec1, sspec2,
+                snspec, vspec,
+            ],
+            out_specs=(ospec, ospec, ospec),
+            out_shape=(shp, shp, shp),
+            scratch_shapes=[
+                pltpu.VMEM((L, tile), jnp.int32),
+                pltpu.VMEM((L, tile), jnp.int32),
+                pltpu.VMEM((L, tile), jnp.int32),
+                pltpu.VMEM((L, tile), jnp.int32),
+                pltpu.VMEM((2 * L + 1, tile), jnp.int32),
+            ],
+            interpret=interpret,
+        )(
+            jnp.asarray(q_np), jnp.asarray(aux_np), jnp.asarray(rm_np),
+            gxy, gxy, sg, sg, s, t0,
+        )
+
+    return emit_scan
+
+
+def compressed_prefix_scan(
+    cfg: MsmConfig,
+    gxy: jax.Array,
+    sg: jax.Array,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Production compressed scan: suffix products -> one Fermat inversion
+    per lane (in-VMEM kernel) -> fused emit+scan. Input gxy [C, 2D, R]
+    dense canonical + signs [C, 1, R] (C even); output the inclusive point
+    prefixes [C/2, L, R] x 3 over the compressed (pair-summed) stream."""
+    from msm_tpu.ops.pallas_inv import make_mont_pow
+
+    C, _, R = gxy.shape
+    assert C % 2 == 0, C
+    Cp = C // 2
+    s = make_pair_suffix(cfg, Cp, R, interpret=interpret)(gxy, sg)
+    t0 = make_mont_pow(cfg, R, cfg.curve.modulus - 2, interpret=interpret)(
+        s[0]
+    )
+    return make_emit_scan(cfg, Cp, R, interpret=interpret)(gxy, sg, s, t0)
+
+
 def compress_pairs(
     cfg: MsmConfig,
     gxy: jax.Array,
@@ -323,7 +575,12 @@ def compress_pairs(
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Compress the sorted dense stream gxy [C, 2D, R] + signs [C, 1, R]
     (C even) into (cx, cy, inf): [C/2, L, R] balanced affine pair sums +
-    [C/2, 1, R] infinity flags. See module docstring for the 3 passes."""
+    [C/2, 1, R] infinity flags. See module docstring for the 3 passes.
+
+    Kernel-level test surface: the production pipeline runs the fused
+    ``compressed_prefix_scan`` instead (same predicate/denominator/emit
+    algebra, shared via _pair_predicates/_pair_denominator), but this
+    pair-value form is what the oracle can check point-by-point."""
     from msm_tpu.ops.pallas_inv import make_mont_pow
 
     C, _, R = gxy.shape

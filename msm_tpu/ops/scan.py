@@ -310,13 +310,9 @@ def _boundary_prefix_compressed(
     sorted range [r*C, (r+1)*C))."""
     import numpy as np
 
-    from msm_tpu.ops.pallas_compress import compress_pairs
+    from msm_tpu.ops.pallas_compress import compressed_prefix_scan
     from msm_tpu.ops.pallas_prefix import make_row_offsets
-    from msm_tpu.ops.pallas_scan import (
-        coord_words,
-        make_scan_rows_limbs,
-        unpack_coords,
-    )
+    from msm_tpu.ops.pallas_scan import coord_words, unpack_coords
     from msm_tpu.utils.limbs import int_to_limbs
 
     cfg = ec.cfg
@@ -329,10 +325,7 @@ def _boundary_prefix_compressed(
     g = packed[perm2]  # [n, 2D] — the ONLY per-subtask gather
     gxy = g.reshape(C, R, 2 * D).swapaxes(1, 2)
     sg3 = sgv.reshape(C, 1, R)
-    cx, cy, inf = compress_pairs(cfg, gxy, sg3, interpret=interp)
-    rx, ry, rz = make_scan_rows_limbs(cfg, Cp, R, interpret=interp)(
-        cx, cy, inf
-    )
+    rx, ry, rz = compressed_prefix_scan(cfg, gxy, sg3, interpret=interp)
     ox, oy, oz = make_row_offsets(cfg, R, interpret=interp)(
         rx[-1], ry[-1], rz[-1]
     )
