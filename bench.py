@@ -316,7 +316,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from msm_tpu.models import common
-    from msm_tpu.models.cuzk import cuzk_window_sums
+    from msm_tpu.models.cuzk import cuzk_msm_point
     from msm_tpu.models.geometry import pick_geometry
     from msm_tpu.params import BN254, MsmConfig, pick_config
 
@@ -337,10 +337,10 @@ def main() -> None:
         vp, vk = sample_inputs(m, c, seed=7)
         vx, vy, vs = common.pad_inputs(vp, vk, c)
         g = pick_geometry(vx.shape[0], c.chunk_size, compress=c.compress)
-        ws = cuzk_window_sums(
+        pt = cuzk_msm_point(
             jnp.asarray(vx), jnp.asarray(vy), jnp.asarray(vs), c, g
         )
-        res = common.window_sums_to_result(np.asarray(ws), c)
+        res = common.std_point_to_jpoint(np.asarray(pt), c)
         return Curve(c.curve).eq(res, best_msm(vp, vk, curve=c.curve))
 
     # candidate configs: the requested one, plus (in auto mode, on real
@@ -382,23 +382,24 @@ def main() -> None:
         )
         try:
             t0 = time.time()
-            ws = cuzk_window_sums(xd, yd, sd, c, geom)
-            ws.block_until_ready()
+            pt = cuzk_msm_point(xd, yd, sd, c, geom)
+            pt.block_until_ready()
             print(f"[bench] {name}: compile+first-run {time.time()-t0:.1f}s",
                   file=sys.stderr)
             times = []
             for _ in range(args.reps):
+                # ONE dispatch + ONE fetch: np.asarray blocks until the
+                # device finishes and lands the 240 B result in host
+                # memory (a separate block_until_ready would add a second
+                # ~30 ms relay round-trip of pure measurement artifact)
                 t0 = time.time()
-                ws = cuzk_window_sums(xd, yd, sd, c, geom)
-                ws.block_until_ready()
-                dev_s = time.time() - t0
-                t1 = time.time()
-                res = common.window_sums_to_result(np.asarray(ws), c)
-                host_s = time.time() - t1
-                times.append(dev_s + host_s)
+                pt = cuzk_msm_point(xd, yd, sd, c, geom)
+                arr = np.asarray(pt)
+                res = common.std_point_to_jpoint(arr, c)
+                times.append(time.time() - t0)
                 if args.timings:
-                    print(f"[bench] {name}: device {dev_s*1e3:.1f} ms + host "
-                          f"horner {host_s*1e3:.1f} ms", file=sys.stderr)
+                    print(f"[bench] {name}: dispatch-to-result "
+                          f"{times[-1]*1e3:.1f} ms", file=sys.stderr)
             ms = min(times) * 1e3
             print(f"[bench] {name}: {ms:.1f} ms", file=sys.stderr)
             measured.append((ms, name, c, res))

@@ -116,10 +116,14 @@ def prepare_points(
     PointBatch never materializes (returns (None, packed)). Otherwise the
     XLA conversion runs and packing is skipped (returns (pts, None)).
 
-    GLV configs (cfg.glv) return the DOUBLED table [P_0..P_{n-1},
-    phi(P_0)..phi(P_{n-1})]: the phi half reruns the same convert kernel
-    with x-scale beta*R^2 (one multiply does endomorphism + Montgomery
-    conversion; ops/glv.py)."""
+    GLV configs (cfg.glv): the fused path returns the TRIPLE-row table
+    [n, 3D] with rows (x*R, beta*x*R, y*R) — n rows, 96 B each for BN254
+    — and the scan kernels select x vs beta*x per element by the phi bit
+    riding the sort payload. A doubled 2n-row table would fall off the
+    v5e gather's ~2^20-row fast path (measured 3.4x slower per row,
+    scripts/gather_probe.py; it cost +310 ms at 2^20 in round 2). The
+    XLA fallback keeps the doubled PointBatch (CPU gathers don't cliff).
+    """
     from msm_tpu.ops.scan import fused_scan_available
 
     cfg = ec.cfg
@@ -138,13 +142,13 @@ def prepare_points(
             return None, packed
         from msm_tpu.ops.glv import glv_params
 
-        # one dual-output pass: extraction + the y conversion are shared
+        # one triple-output pass: extraction + the y conversion are shared
         beta_r2 = (glv_params(cfg.curve).beta * cfg.r2) % cfg.curve.modulus
-        packed, phi = make_convert_pack(
+        packed = make_convert_pack(
             cfg, tile=tile, interpret=pallas_interpret(),
-            dual_x_scale_int=beta_r2,
+            dual_x_scale_int=beta_r2, triple=True,
         )(x_u16, y_u16)
-        return None, jnp.concatenate([packed, phi], axis=0)
+        return None, packed
     pts = u16_to_mont_points(ec, x_u16, y_u16)
     if not cfg.glv:
         return pts, None
@@ -193,6 +197,20 @@ def export_points_std(ec: CurveCtx, pts: PointBatch) -> jax.Array:
         ],
         axis=-2,
     )
+
+
+def std_point_to_jpoint(pt_std: np.ndarray, cfg: MsmConfig) -> JPoint:
+    """[3, L] standard-form homogeneous limb triple -> oracle JPoint (the
+    host tail of the device-Horner path: one modular inversion)."""
+    p = cfg.curve.modulus
+    arr = np.asarray(pt_std)
+    x = L.limbs_to_int(arr[0], cfg.word_size)
+    y = L.limbs_to_int(arr[1], cfg.word_size)
+    z = L.limbs_to_int(arr[2], cfg.word_size)
+    if z == 0:
+        return IDENTITY
+    zi = pow(z, -1, p)
+    return Curve(cfg.curve).from_affine(x * zi % p, y * zi % p)
 
 
 def window_sums_to_jpoints(

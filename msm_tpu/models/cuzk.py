@@ -95,6 +95,34 @@ def _window_sums_mont(
     return jnp.stack([w.x, w.y, w.z], axis=1)  # [S, 3, L]
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "geom"))
+def cuzk_msm_point(
+    x_u16: jax.Array,
+    y_u16: jax.Array,
+    s_u16: jax.Array,
+    cfg: MsmConfig,
+    geom: MsmGeometry,
+) -> jax.Array:
+    """Full device MSM: u16-word inputs -> ONE standard-form projective
+    point [3, L] (window sums + the on-device Horner ladder kernel; the
+    host only maps the single homogeneous triple to affine — one modular
+    inversion instead of the ~15-30 ms python-int Horner behind the relay
+    fetch). Requires the Pallas path (callers fall back to
+    cuzk_window_sums + the host Horner otherwise, matching the
+    reference's host finish at msm.rs:409-416)."""
+    from msm_tpu.ops.curve import PointBatch, pallas_interpret
+    from msm_tpu.ops.pallas_prefix import make_horner_ladder
+
+    ec = get_curve_ctx(cfg)
+    ws = _window_sums_all(x_u16, y_u16, s_u16, cfg, geom)
+    S = ws.shape[0]
+    hx, hy, hz = make_horner_ladder(
+        cfg, S, cfg.chunk_size, interpret=pallas_interpret()
+    )(ws[:, 0].T, ws[:, 1].T, ws[:, 2].T)
+    acc = PointBatch(hx[None, :], hy[None, :], hz[None, :])
+    return common.export_points_std(ec, acc)[0]
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "geom")
 )
@@ -110,6 +138,23 @@ def cuzk_window_sums(
     2^20-point slice under one lax.map (buffers are reused across slices)
     and merges the slice window sums with point adds; ``geom`` applies to
     the per-slice pipeline geometry in that case."""
+    from msm_tpu.ops.curve import PointBatch
+
+    ec = get_curve_ctx(cfg)
+    ws = _window_sums_all(x_u16, y_u16, s_u16, cfg, geom)
+    w = PointBatch(ws[:, 0], ws[:, 1], ws[:, 2])
+    return common.export_points_std(ec, w)
+
+
+def _window_sums_all(
+    x_u16: jax.Array,
+    y_u16: jax.Array,
+    s_u16: jax.Array,
+    cfg: MsmConfig,
+    geom: MsmGeometry,
+) -> jax.Array:
+    """Shared body of cuzk_window_sums/cuzk_msm_point: Montgomery window
+    sums [S, 3, L] with the n > SLICE slice-and-merge handling."""
     from msm_tpu.ops.curve import PointBatch
 
     ec = get_curve_ctx(cfg)
@@ -141,8 +186,7 @@ def cuzk_window_sums(
                 acc, PointBatch(wk[i, :, 0], wk[i, :, 1], wk[i, :, 2])
             )
         ws = jnp.stack([acc.x, acc.y, acc.z], axis=1)
-    w = PointBatch(ws[:, 0], ws[:, 1], ws[:, 2])
-    return common.export_points_std(ec, w)
+    return ws
 
 
 def compute_msm(
@@ -178,9 +222,18 @@ def compute_msm_jpoint(
     x_u16, y_u16, s_u16 = common.pad_inputs(points, scalars, config)
     n = x_u16.shape[0]
     if n <= CHUNK_MAX:
+        from msm_tpu.ops.curve import _pallas_enabled
+
         geom = geometry or pick_geometry(
             n, config.chunk_size, compress=config.compress
         )
+        if _pallas_enabled():
+            pt = cuzk_msm_point(
+                jnp.asarray(x_u16), jnp.asarray(y_u16), jnp.asarray(s_u16),
+                config, geom,
+            )
+            return common.std_point_to_jpoint(np.asarray(pt), config)
+        # XLA-only path (CPU parity): host Horner, like the reference
         ws = cuzk_window_sums(
             jnp.asarray(x_u16), jnp.asarray(y_u16), jnp.asarray(s_u16),
             config, geom,

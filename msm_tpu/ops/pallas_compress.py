@@ -19,17 +19,23 @@ compressed stream's prefix sums are still exact prefixes of the source
 stream, and ``ops/scan.bucket_boundary_prefix`` corrects odd-aligned bucket
 boundaries with a single-element add at extraction time (O(num_buckets)).
 
-Three passes (classic Montgomery batch inversion, restructured as two
-Pallas programs + one XLA exponentiation so the chain state lives in VMEM):
+Production passes (``compressed_prefix_scan``): the batch inversion is
+restructured in the FORWARD direction so pair emission fuses with the
+point scan —
 
-1. ``forward``: running products m_c = d_0 * ... * d_c per lane (1 mul per
-   pair), m written to HBM.
-2. XLA: inv(m_last) via Fermat (FieldCtx.mont_pow, static p-2 chain) —
-   amortized over the whole lane chain, which is why compression wants
-   narrow-R geometry (R ~ 1024: ~300 muls of inversion vs ~n/R * 18.5
-   muls of chain work per lane).
-3. ``backward`` (reverse grid): inv_d = m_{c-1} * invrun, emit the pair
-   sum, invrun *= d_c (6 muls per pair).
+1. ``make_pair_suffix`` (reverse grid): suffix products
+   s_j = d_j * ... * d_{Cp-1} per lane (1 mul per pair).
+2. ``ops/pallas_inv.make_mont_pow``: t_0 = inv(s_0) via the in-VMEM
+   Fermat chain kernel — ONE inversion per lane, which is why compression
+   wants narrow-R geometry (R ~ 1024: ~380 muls of inversion amortized
+   over the lane's ~(n/R)*10 muls of chain work).
+3. ``make_emit_scan`` (forward grid): inv(d_j) = t_j * s_{j+1},
+   t_{j+1} = t_j * d_j; emit the pair sum in-register and RCB16-mixed-add
+   it straight into the running prefix (19 muls per pair incl. the madd).
+
+The legacy test-surface pair (``make_pair_forward``/``make_pair_backward``
+behind ``compress_pairs``) materializes the pair VALUES instead, which is
+what the oracle can check point-by-point.
 
 No reference analogue: the reference adds every source point individually
 in SMVP (``smvp.template.wgsl:70-79``). The technique is the standard
@@ -42,9 +48,9 @@ Safety notes:
   (prime-order group, no 2-torsion), and the infinity case substitutes R.
 - Forward and backward recompute d from identical inputs with identical
   ops, so the chain values match bitwise.
-- Outputs are swept balanced limbs (NOT dense-packed): the scan kernel's
-  ``limbs_skip`` mode consumes them directly, avoiding an in-kernel
-  canonicalization of the compressed points.
+- Emitted pair sums are swept balanced limbs (NOT dense-packed), consumed
+  in-register by the fused madd — no canonicalization of compressed points
+  is ever needed.
 """
 
 from __future__ import annotations
@@ -111,6 +117,33 @@ def _signed_y(y, s, qb):
     return jnp.where(s != 0, qb - y, y)
 
 
+def _row_width(cfg: MsmConfig) -> int:
+    """Dense int32 words per gather row: 2D (x, y), or 3D under GLV
+    (x, beta*x, y — pallas_convert triple mode)."""
+    return (3 if cfg.glv else 2) * coord_words(cfg)
+
+
+def _load_pair_point(cfg: MsmConfig, gblock, srow):
+    """One dense row block [W, T] + combined flag row [1, T] (bit 0 =
+    bucket sign, bit 1 = GLV phi) -> (x, y canonical [L, T] limbs, sign
+    row [1, T] in {0, 1}). GLV triple rows select x vs beta*x on the D
+    dense words BEFORE unpacking; flags stay in int32 lanes (the Mosaic
+    select rule — see _ripple_eq_p)."""
+    D = coord_words(cfg)
+    if cfg.glv:
+        xd = jnp.where((srow >> 1) != 0, gblock[D : 2 * D], gblock[:D])
+        return (
+            _unpack_dense(xd, cfg),
+            _unpack_dense(gblock[2 * D :], cfg),
+            srow & 1,
+        )
+    return (
+        _unpack_dense(gblock[:D], cfg),
+        _unpack_dense(gblock[D:], cfg),
+        srow & 1,
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def make_pair_forward(
     cfg: MsmConfig, Cp: int, R: int, tile: int = DEFAULT_TILE,
@@ -120,6 +153,7 @@ def make_pair_forward(
     m [Cp, L, R] (inclusive running products of d per lane)."""
     tile = min(tile, R)
     L, D = cfg.num_words, coord_words(cfg)
+    W = _row_width(cfg)
     q_np = int_to_limbs(cfg.curve.modulus, cfg.word_size, L).astype(
         np.int32
     )[:, None]
@@ -134,26 +168,26 @@ def make_pair_forward(
             run[:] = rm[:] + jnp.zeros_like(run)
 
         qb = q[:] + jnp.zeros((L, tile), jnp.int32)
-        x1, y1 = _unpack_dense(g1[0][:D], cfg), _unpack_dense(g1[0][D:], cfg)
-        x2, y2 = _unpack_dense(g2[0][:D], cfg), _unpack_dense(g2[0][D:], cfg)
-        _, dbl, inf = _pair_predicates(cfg, x1, y1, s1[0], x2, y2, s2[0])
-        y1p = _signed_y(y1, s1[0], qb)
+        x1, y1, sg1 = _load_pair_point(cfg, g1[0], s1[0])
+        x2, y2, sg2 = _load_pair_point(cfg, g2[0], s2[0])
+        _, dbl, inf = _pair_predicates(cfg, x1, y1, sg1, x2, y2, sg2)
+        y1p = _signed_y(y1, sg1, qb)
         d = _pair_denominator(cfg, rm, x1, y1p, x2, dbl, inf)
         m = f_mul(run[:], d)
         run[:] = m
         om[0] = m
 
     def forward(gxy, sg):
-        assert gxy.shape == (2 * Cp, 2 * D, R), gxy.shape
+        assert gxy.shape == (2 * Cp, W, R), gxy.shape
         assert sg.shape == (2 * Cp, 1, R), sg.shape
         assert R % tile == 0
         grid = (R // tile, Cp)
         gspec1 = pl.BlockSpec(
-            (1, 2 * D, tile), lambda r, c: (2 * c, 0, r),
+            (1, W, tile), lambda r, c: (2 * c, 0, r),
             memory_space=pltpu.VMEM,
         )
         gspec2 = pl.BlockSpec(
-            (1, 2 * D, tile), lambda r, c: (2 * c + 1, 0, r),
+            (1, W, tile), lambda r, c: (2 * c + 1, 0, r),
             memory_space=pltpu.VMEM,
         )
         sspec1 = pl.BlockSpec(
@@ -211,6 +245,7 @@ def make_pair_backward(
     """
     tile = min(tile, R)
     L, D = cfg.num_words, coord_words(cfg)
+    W = _row_width(cfg)
     w, mask = cfg.word_size, cfg.mask
     q_np = int_to_limbs(cfg.curve.modulus, w, L).astype(np.int32)[:, None]
     rm_np = int_to_limbs(cfg.r, w, L).astype(np.int32)[:, None]
@@ -228,11 +263,11 @@ def make_pair_backward(
             run[:] = minv[:]
 
         qb = q[:] + jnp.zeros((L, tile), jnp.int32)
-        x1, y1 = _unpack_dense(g1[0][:D], cfg), _unpack_dense(g1[0][D:], cfg)
-        x2, y2 = _unpack_dense(g2[0][:D], cfg), _unpack_dense(g2[0][D:], cfg)
-        _, dbl, inf = _pair_predicates(cfg, x1, y1, s1[0], x2, y2, s2[0])
-        y1p = _signed_y(y1, s1[0], qb)
-        y2p = _signed_y(y2, s2[0], qb)
+        x1, y1, sg1 = _load_pair_point(cfg, g1[0], s1[0])
+        x2, y2, sg2 = _load_pair_point(cfg, g2[0], s2[0])
+        _, dbl, inf = _pair_predicates(cfg, x1, y1, sg1, x2, y2, sg2)
+        y1p = _signed_y(y1, sg1, qb)
+        y2p = _signed_y(y2, sg2, qb)
         d = _pair_denominator(cfg, rm, x1, y1p, x2, dbl, inf)
         x1sq = f_mul(x1, x1)
         num_dbl = f_add(f_add_raw(x1sq, x1sq), x1sq)  # 3*x1^2
@@ -253,18 +288,18 @@ def make_pair_backward(
         oinf[0] = inf
 
     def backward(gxy, sg, m, minv):
-        assert gxy.shape == (2 * Cp, 2 * D, R), gxy.shape
+        assert gxy.shape == (2 * Cp, W, R), gxy.shape
         assert m.shape == (Cp, L, R), m.shape
         assert minv.shape == (L, R), minv.shape
         assert R % tile == 0
         grid = (R // tile, Cp)
         rev = lambda c: Cp - 1 - c
         gspec1 = pl.BlockSpec(
-            (1, 2 * D, tile), lambda r, c: (2 * rev(c), 0, r),
+            (1, W, tile), lambda r, c: (2 * rev(c), 0, r),
             memory_space=pltpu.VMEM,
         )
         gspec2 = pl.BlockSpec(
-            (1, 2 * D, tile), lambda r, c: (2 * rev(c) + 1, 0, r),
+            (1, W, tile), lambda r, c: (2 * rev(c) + 1, 0, r),
             memory_space=pltpu.VMEM,
         )
         sspec1 = pl.BlockSpec(
@@ -335,6 +370,7 @@ def make_pair_suffix(
     separate reverse pass, ~+60 ms per 2^20 MSM in kernel I/O + grid)."""
     tile = min(tile, R)
     L, D = cfg.num_words, coord_words(cfg)
+    W = _row_width(cfg)
     q_np = int_to_limbs(cfg.curve.modulus, cfg.word_size, L).astype(
         np.int32
     )[:, None]
@@ -349,27 +385,27 @@ def make_pair_suffix(
             run[:] = rm[:] + jnp.zeros_like(run)
 
         qb = q[:] + jnp.zeros((L, tile), jnp.int32)
-        x1, y1 = _unpack_dense(g1[0][:D], cfg), _unpack_dense(g1[0][D:], cfg)
-        x2, y2 = _unpack_dense(g2[0][:D], cfg), _unpack_dense(g2[0][D:], cfg)
-        _, dbl, inf = _pair_predicates(cfg, x1, y1, s1[0], x2, y2, s2[0])
-        y1p = _signed_y(y1, s1[0], qb)
+        x1, y1, sg1 = _load_pair_point(cfg, g1[0], s1[0])
+        x2, y2, sg2 = _load_pair_point(cfg, g2[0], s2[0])
+        _, dbl, inf = _pair_predicates(cfg, x1, y1, sg1, x2, y2, sg2)
+        y1p = _signed_y(y1, sg1, qb)
         d = _pair_denominator(cfg, rm, x1, y1p, x2, dbl, inf)
         s = f_mul(run[:], d)
         run[:] = s
         os[0] = s
 
     def suffix(gxy, sg):
-        assert gxy.shape == (2 * Cp, 2 * D, R), gxy.shape
+        assert gxy.shape == (2 * Cp, W, R), gxy.shape
         assert sg.shape == (2 * Cp, 1, R), sg.shape
         assert R % tile == 0
         grid = (R // tile, Cp)
         rev = lambda c: Cp - 1 - c
         gspec1 = pl.BlockSpec(
-            (1, 2 * D, tile), lambda r, c: (2 * rev(c), 0, r),
+            (1, W, tile), lambda r, c: (2 * rev(c), 0, r),
             memory_space=pltpu.VMEM,
         )
         gspec2 = pl.BlockSpec(
-            (1, 2 * D, tile), lambda r, c: (2 * rev(c) + 1, 0, r),
+            (1, W, tile), lambda r, c: (2 * rev(c) + 1, 0, r),
             memory_space=pltpu.VMEM,
         )
         sspec1 = pl.BlockSpec(
@@ -425,6 +461,7 @@ def make_emit_scan(
     pallas_scan.make_scan_rows."""
     tile = min(tile, R)
     L, D = cfg.num_words, coord_words(cfg)
+    W = _row_width(cfg)
     w, mask = cfg.word_size, cfg.mask
     q_np = int_to_limbs(cfg.curve.modulus, w, L).astype(np.int32)[:, None]
     rm_np = int_to_limbs(cfg.r, w, L).astype(np.int32)[:, None]
@@ -451,11 +488,11 @@ def make_emit_scan(
             accz[:] = jnp.zeros_like(accz)
 
         qb = q[:] + jnp.zeros((L, tile), jnp.int32)
-        x1, y1 = _unpack_dense(g1[0][:D], cfg), _unpack_dense(g1[0][D:], cfg)
-        x2, y2 = _unpack_dense(g2[0][:D], cfg), _unpack_dense(g2[0][D:], cfg)
-        _, dbl, inf = _pair_predicates(cfg, x1, y1, s1[0], x2, y2, s2[0])
-        y1p = _signed_y(y1, s1[0], qb)
-        y2p = _signed_y(y2, s2[0], qb)
+        x1, y1, sg1 = _load_pair_point(cfg, g1[0], s1[0])
+        x2, y2, sg2 = _load_pair_point(cfg, g2[0], s2[0])
+        _, dbl, inf = _pair_predicates(cfg, x1, y1, sg1, x2, y2, sg2)
+        y1p = _signed_y(y1, sg1, qb)
+        y2p = _signed_y(y2, sg2, qb)
         d = _pair_denominator(cfg, rm, x1, y1p, x2, dbl, inf)
         x1sq = f_mul(x1, x1)
         num_dbl = f_add(f_add_raw(x1sq, x1sq), x1sq)  # 3*x1^2
@@ -483,17 +520,17 @@ def make_emit_scan(
         oz[0] = pz
 
     def emit_scan(gxy, sg, s, t0):
-        assert gxy.shape == (2 * Cp, 2 * D, R), gxy.shape
+        assert gxy.shape == (2 * Cp, W, R), gxy.shape
         assert s.shape == (Cp, L, R), s.shape
         assert t0.shape == (L, R), t0.shape
         assert R % tile == 0
         grid = (R // tile, Cp)
         gspec1 = pl.BlockSpec(
-            (1, 2 * D, tile), lambda r, c: (2 * c, 0, r),
+            (1, W, tile), lambda r, c: (2 * c, 0, r),
             memory_space=pltpu.VMEM,
         )
         gspec2 = pl.BlockSpec(
-            (1, 2 * D, tile), lambda r, c: (2 * c + 1, 0, r),
+            (1, W, tile), lambda r, c: (2 * c + 1, 0, r),
             memory_space=pltpu.VMEM,
         )
         sspec1 = pl.BlockSpec(

@@ -100,6 +100,7 @@ def make_convert_pack(
     interpret: bool = False,
     x_scale_int: int | None = None,
     dual_x_scale_int: int | None = None,
+    triple: bool = False,
 ):
     """Build the fused converter: (x_u16 [n, Wu], y_u16 [n, Wu]) ->
     dense-packed [n, 2D] canonical Montgomery-form coordinates
@@ -114,7 +115,16 @@ def make_convert_pack(
     by this constant instead — the GLV (table, phi-table) pair from ONE
     pass: word extraction, the y conversion and its canonicalization are
     shared (3 muls + 3 canonicalizations vs 4 + 4 over two passes, and
-    the u16 inputs stream from HBM once)."""
+    the u16 inputs stream from HBM once).
+
+    ``triple``: with dual_x_scale_int, emit ONE [n, 3D] output with rows
+    (x*R, beta*x*R, y*R) instead of two [n, 2D] tables. This is the
+    production GLV wire format: the v5e sorted-row gather falls off a
+    ~3.4x cliff when the table exceeds ~2^20 rows / ~96 MB (measured,
+    scripts/gather_probe.py), so GLV must NOT double the row count — the
+    96 B triple row keeps n rows and the scan kernels select x vs beta*x
+    per element by the phi flag riding the sort payload (zero extra
+    multiplies)."""
     from msm_tpu.ops.pallas_scan import coord_words
 
     L = cfg.num_words
@@ -128,12 +138,14 @@ def make_convert_pack(
         x_scale_int % cfg.curve.modulus, w, L
     ).astype(np.int32)[:, None]
     dual = dual_x_scale_int is not None
+    assert not (triple and not dual), "triple mode needs dual_x_scale_int"
     x2_np = None if not dual else int_to_limbs(
         dual_x_scale_int % cfg.curve.modulus, w, L
     ).astype(np.int32)[:, None]
+    two_outs = dual and not triple
 
     def kernel(q, r2, xsc, xsc2, xr, yr, *outs_and_scratch):
-        if dual:
+        if two_outs:
             out, out2, acc_ref = outs_and_scratch
         else:
             out, acc_ref = outs_and_scratch
@@ -145,33 +157,39 @@ def make_convert_pack(
         yl = _extract_limbs(yr[:].T, w, L, mask)
         ypk = _pack_rows_dense(_canonical_rows(f_mul(yl, r2b), cfg), cfg)
         xpk = _pack_rows_dense(_canonical_rows(f_mul(xl, xscb), cfg), cfg)
-        out[:] = jnp.concatenate([xpk, ypk], axis=0).T  # [tile, 2D]
         if dual:
             x2b = xsc2[:] + jnp.zeros((L, tile), jnp.int32)
             x2pk = _pack_rows_dense(
                 _canonical_rows(f_mul(xl, x2b), cfg), cfg
             )
-            out2[:] = jnp.concatenate([x2pk, ypk], axis=0).T
+            if triple:
+                out[:] = jnp.concatenate([xpk, x2pk, ypk], axis=0).T
+            else:
+                out[:] = jnp.concatenate([xpk, ypk], axis=0).T
+                out2[:] = jnp.concatenate([x2pk, ypk], axis=0).T
+        else:
+            out[:] = jnp.concatenate([xpk, ypk], axis=0).T  # [tile, 2D]
 
     def convert_pack(x_u16, y_u16):
         n = x_u16.shape[0]
         assert n % tile == 0, (n, tile)
         assert x_u16.shape[1] == Wu, (x_u16.shape, Wu)
         grid = (n // tile,)
+        W = (3 if triple else 2) * D
         inspec = pl.BlockSpec(
             (tile, Wu), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
         outspec = pl.BlockSpec(
-            (tile, 2 * D), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (tile, W), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
         cspec = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
-        oshape = jax.ShapeDtypeStruct((n, 2 * D), jnp.int32)
+        oshape = jax.ShapeDtypeStruct((n, W), jnp.int32)
         return pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[cspec, cspec, cspec, cspec, inspec, inspec],
-            out_specs=(outspec, outspec) if dual else outspec,
-            out_shape=(oshape, oshape) if dual else oshape,
+            out_specs=(outspec, outspec) if two_outs else outspec,
+            out_shape=(oshape, oshape) if two_outs else oshape,
             scratch_shapes=[pltpu.VMEM((2 * L + 1, tile), jnp.int32)],
             interpret=interpret,
         )(

@@ -247,3 +247,104 @@ def make_point_total(
         )
 
     return point_total
+
+
+@functools.lru_cache(maxsize=None)
+def make_horner_ladder(
+    cfg: MsmConfig, S: int, chunk: int, interpret: bool = False
+):
+    """Fused device Horner over [S] Montgomery window sums:
+
+        result = sum_s 2^(chunk*s) * W_s
+
+    computed as a masked doubling ladder (lane s doubles in rounds
+    k < chunk*s; chunk*(S-1) rounds on one 128-lane tile) followed by an
+    inclusive cross-lane Hillis-Steele point prefix whose last lane is the
+    total. ~(chunk*(S-1) + 7) complete adds on a single tile: ~1 ms, one
+    dispatch — the XLA route costs ~290 ms (271 point ops, each of whose
+    mont-muls lowers to a 20-step while loop), and the python-int host
+    Horner ~15-30 ms behind the relay fetch (reference finishes on the
+    host at msm.rs:409-416 without a tunnel in the way).
+
+    Input/output: three [L, S] / [L, 128] limbs-first coordinate arrays
+    (the wrapper pads lanes S..127 with the identity, which is neutral in
+    the prefix); the caller reads lane 127 of the output."""
+    B = 128
+    assert S <= B, S
+    L = cfg.num_words
+    nlev = 7  # log2(128)
+    aux_np = aux_b3_limbs(cfg)
+    q_np = int_to_limbs(cfg.curve.modulus, cfg.word_size, L).astype(np.int32)[
+        :, None
+    ]
+    rm_np = int_to_limbs(cfg.r, cfg.word_size, L).astype(np.int32)[:, None]
+    add_points = _rcb16_add(cfg)
+
+    def kernel(q, b3m, rm, wx, wy, wz, ox, oy, oz, ax, ay, az, mont_acc):
+        ident_y = rm[:] + jnp.zeros((L, B), jnp.int32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (L, B), 1)
+
+        def add(p, s):
+            return add_points(q[:], b3m[:], mont_acc, *p, *s)
+
+        ax[:], ay[:], az[:] = wx[:], wy[:], wz[:]
+
+        def dbl_body(k, _):
+            cur = (ax[:], ay[:], az[:])
+            d = add(cur, cur)  # complete doubling (RCB16 Alg 7 handles P=Q)
+            m = k < (chunk * lane)
+            ax[:] = jnp.where(m, d[0], cur[0])
+            ay[:] = jnp.where(m, d[1], cur[1])
+            az[:] = jnp.where(m, d[2], cur[2])
+            return 0
+
+        jax.lax.fori_loop(0, chunk * (S - 1), dbl_body, 0)
+
+        def shift_ident(p, k):
+            m = lane < k
+            return (
+                jnp.where(m, 0, pltpu.roll(p[0], k, 1)),
+                jnp.where(m, ident_y, pltpu.roll(p[1], k, 1)),
+                jnp.where(m, 0, pltpu.roll(p[2], k, 1)),
+            )
+
+        def lev_body(j, _):
+            k = jnp.int32(1) << j
+            cur = (ax[:], ay[:], az[:])
+            ax[:], ay[:], az[:] = add(cur, shift_ident(cur, k))
+            return 0
+
+        jax.lax.fori_loop(0, nlev, lev_body, 0)
+        ox[:] = ax[:]
+        oy[:] = ay[:]
+        oz[:] = az[:]
+
+    def horner(wx, wy, wz):
+        assert wx.shape == (L, S), (wx.shape, (L, S))
+        if S < B:  # identity-pad the lane tile
+            zp = jnp.zeros((L, B - S), jnp.int32)
+            yp = jnp.broadcast_to(
+                jnp.asarray(rm_np), (L, B - S)
+            ).astype(jnp.int32)
+            wx = jnp.concatenate([wx, zp], axis=1)
+            wy = jnp.concatenate([wy, yp], axis=1)
+            wz = jnp.concatenate([wz, zp], axis=1)
+        spec = pl.BlockSpec((L, B), lambda: (0, 0), memory_space=pltpu.VMEM)
+        cspec = pl.BlockSpec((L, 1), lambda: (0, 0), memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((L, B), jnp.int32)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(),
+            in_specs=[cspec, cspec, cspec] + [spec] * 3,
+            out_specs=(spec,) * 3,
+            out_shape=(out_shape,) * 3,
+            scratch_shapes=[pltpu.VMEM((L, B), jnp.int32)] * 3
+            + [pltpu.VMEM((2 * L + 1, B), jnp.int32)],
+            interpret=interpret,
+        )(
+            jnp.asarray(q_np), jnp.asarray(aux_np), jnp.asarray(rm_np),
+            wx, wy, wz,
+        )
+        return tuple(o[:, B - 1] for o in outs)  # [L] each: the total
+
+    return horner

@@ -26,9 +26,10 @@ program:
   by the same permutation) are applied to y in-kernel.
 
 Grid: (R/tile, C) with C innermost; the accumulator scratch re-initializes
-to the identity at c==0 (new row tile). Outputs are the inclusive prefixes
-[C, R, L] — exactly ``ops/scan.blocked_prefix_scan``'s row_prefix — whose
-last step also serves as the row totals.
+to the identity at c==0 (new row tile). Outputs: the inclusive prefixes in
+the boundary-gather layout [C, R, 3L] (x||y||z limbs contiguous per row, so
+the per-bucket prefix extraction gathers ONE row instead of 3x20 R-strided
+words) plus the [L, R] lane totals for the row-offsets kernel.
 """
 
 from __future__ import annotations
@@ -162,25 +163,36 @@ def _rcb16_madd(cfg: MsmConfig):
     return madd
 
 
+def _scan_tile() -> int:
+    """Lane-tile width for the row scan — env-overridable for hardware
+    sweeps (MSM_TPU_SCAN_TILE), default DEFAULT_TILE."""
+    import os
+
+    return int(os.environ.get("MSM_TPU_SCAN_TILE", DEFAULT_TILE))
+
+
 @functools.lru_cache(maxsize=None)
 def make_scan_rows(
     cfg: MsmConfig,
     C: int,
     R: int,
-    tile: int = DEFAULT_TILE,
+    tile: int | None = None,
     interpret: bool = False,
 ):
     """Build the fused row scan.
 
-    Takes bucket-sorted affine points as one dense-packed [C, 2D, R] array
-    (x in word rows 0..D-1, y in rows D..2D-1; element (c, r) is the c-th
-    point of lane r) plus int32 signs [C, R] (1 -> negate y); returns the
-    inclusive point-prefix per lane as three [C, R, L] arrays (Montgomery
-    projective limbs, balanced encoding).
+    Takes bucket-sorted affine points as one dense-packed [C, W, R] array
+    (W = 2D, or 3D triple rows under GLV; element (c, r) is the c-th point
+    of lane r) plus int32 flag rows [C, 1, R] (bit 0: negate y; bit 1:
+    GLV phi — select the beta*x words). See scan_rows below for outputs
+    (Montgomery projective limbs, balanced encoding).
     """
-    tile = min(tile, R)  # small geometries: one tile spans all lanes
+    tile = min(tile or _scan_tile(), R)  # small geometries: one tile
     L = cfg.num_words
     D = coord_words(cfg)
+    # GLV triple rows (x, beta*x, y): W = 3D, x selected by the phi flag
+    # (bit 1 of the sign row) — see pallas_convert triple mode
+    W = (3 if cfg.glv else 2) * D
     aux_np = aux_b3_limbs(cfg)
     q_np = int_to_limbs(cfg.curve.modulus, cfg.word_size, L).astype(np.int32)[
         :, None
@@ -189,7 +201,10 @@ def make_scan_rows(
     rm_np = int_to_limbs(cfg.r, cfg.word_size, L).astype(np.int32)[:, None]
     madd = _rcb16_madd(cfg)
 
-    def kernel(q, b3m, rm, pxy, sg, ox, oy, oz, accx, accy, accz, mont_acc):
+    def kernel(
+        q, b3m, rm, pxy, sg, ope, otx, oty, otz,
+        accx, accy, accz, mont_acc,
+    ):
         c = pl.program_id(1)
 
         @pl.when(c == 0)
@@ -198,49 +213,73 @@ def make_scan_rows(
             accy[:] = rm[:] + jnp.zeros_like(accy)
             accz[:] = jnp.zeros_like(accz)
 
-        packed = pxy[0]  # [2D, tile] — coords-first, no transpose needed
-        x2 = _unpack_dense(packed[:D], cfg)
-        y2 = _unpack_dense(packed[D:], cfg)
-        y2 = jnp.where(sg[0] != 0, -y2, y2)  # sg[0]: [1, tile]
+        packed = pxy[0]  # [W, tile] — coords-first, no transpose needed
+        if cfg.glv:
+            xd = jnp.where(
+                (sg[0] >> 1) != 0, packed[D : 2 * D], packed[:D]
+            )
+            x2 = _unpack_dense(xd, cfg)
+            y2 = _unpack_dense(packed[2 * D :], cfg)
+        else:
+            x2 = _unpack_dense(packed[:D], cfg)
+            y2 = _unpack_dense(packed[D:], cfg)
+        y2 = jnp.where((sg[0] & 1) != 0, -y2, y2)  # sg[0]: [1, tile]
         x3, y3, z3 = madd(
             q[:], b3m[:], mont_acc, accx[:], accy[:], accz[:], x2, y2
         )
         accx[:] = x3
         accy[:] = y3
         accz[:] = z3
-        ox[0] = x3
-        oy[0] = y3
-        oz[0] = z3
+        # boundary-gatherable layout: one row of 3L contiguous limbs per
+        # prefix value — prefix_at's per-bucket gather reads ONE ~240 B
+        # row instead of 3x20 R-strided words (37 -> ~5 ms per 2^20 MSM)
+        ope[0] = jnp.concatenate([x3.T, y3.T, z3.T], axis=-1)
+
+        @pl.when(c == C - 1)
+        def _():
+            # row totals, limbs-first — the row-offsets kernel's layout
+            otx[:] = x3
+            oty[:] = y3
+            otz[:] = z3
 
     def scan_rows(pxy, signs):
-        """pxy: [C, 2D, R] coords-second-minor (lane dim R matches the
-        hardware tiling, so neither the gathered input nor the [C, L, R]
-        prefix outputs need an XLA layout copy — measured ~70 ms of pure
-        data-formatting at 2^20 with the old [C, R, 2P]/[C, R, L] shapes);
-        signs: [C, 1, R]."""
-        assert pxy.shape == (C, 2 * D, R), (pxy.shape, (C, 2 * D, R))
+        """pxy: [C, W, R] coords-second-minor (lane dim R matches the
+        hardware tiling, so the gathered input needs no XLA layout copy);
+        signs: [C, 1, R].
+
+        Returns (pe3 [C, R, 3L], tx, ty, tz [L, R]): pe3[c, r] is the
+        inclusive point-prefix of lane r after step c as x||y||z limb
+        rows (gather-friendly: the bucket-boundary extraction reads
+        contiguous rows); (tx, ty, tz) are the lane totals (= step C-1),
+        limbs-first for the row-offsets kernel."""
+        assert pxy.shape == (C, W, R), (pxy.shape, (C, W, R))
         assert signs.shape == (C, 1, R), signs.shape
         assert R % tile == 0, (R, tile)
         grid = (R // tile, C)
         inspec = pl.BlockSpec(
-            (1, 2 * D, tile), lambda r, c: (c, 0, r), memory_space=pltpu.VMEM
+            (1, W, tile), lambda r, c: (c, 0, r), memory_space=pltpu.VMEM
         )
         sgspec = pl.BlockSpec(
             (1, 1, tile), lambda r, c: (c, 0, r), memory_space=pltpu.VMEM
         )
-        outspec = pl.BlockSpec(
-            (1, L, tile), lambda r, c: (c, 0, r), memory_space=pltpu.VMEM
+        pespec = pl.BlockSpec(
+            (1, tile, 3 * L), lambda r, c: (c, r, 0),
+            memory_space=pltpu.VMEM,
+        )
+        totspec = pl.BlockSpec(
+            (L, tile), lambda r, c: (0, r), memory_space=pltpu.VMEM
         )
         cspec = pl.BlockSpec(
             (L, 1), lambda r, c: (0, 0), memory_space=pltpu.VMEM
         )
-        out_shape = jax.ShapeDtypeStruct((C, L, R), jnp.int32)
+        pe_shape = jax.ShapeDtypeStruct((C, R, 3 * L), jnp.int32)
+        tot_shape = jax.ShapeDtypeStruct((L, R), jnp.int32)
         return pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[cspec, cspec, cspec, inspec, sgspec],
-            out_specs=(outspec, outspec, outspec),
-            out_shape=(out_shape, out_shape, out_shape),
+            out_specs=(pespec, totspec, totspec, totspec),
+            out_shape=(pe_shape, tot_shape, tot_shape, tot_shape),
             scratch_shapes=[
                 pltpu.VMEM((L, tile), jnp.int32),
                 pltpu.VMEM((L, tile), jnp.int32),
@@ -254,101 +293,6 @@ def make_scan_rows(
             jnp.asarray(rm_np),
             pxy,
             signs,
-        )
-
-    return scan_rows
-
-
-@functools.lru_cache(maxsize=None)
-def make_scan_rows_limbs(
-    cfg: MsmConfig,
-    C: int,
-    R: int,
-    tile: int = DEFAULT_TILE,
-    interpret: bool = False,
-):
-    """Compressed-pair variant of the fused row scan: consumes UNPACKED
-    swept balanced limbs (the pair-compression kernels' output,
-    ops/pallas_compress.py) plus a skip flag instead of dense coords plus
-    a sign — skip rows (infinity pair sums, P + (-P)) leave the
-    accumulator unchanged, which keeps the compressed prefix an exact
-    prefix of the source stream.
-
-    Inputs: cx, cy [C, L, R]; skip [C, 1, R] int32 (nonzero -> pass
-    through). Returns the same three [C, L, R] inclusive prefixes as
-    make_scan_rows."""
-    tile = min(tile, R)
-    L = cfg.num_words
-    aux_np = aux_b3_limbs(cfg)
-    q_np = int_to_limbs(cfg.curve.modulus, cfg.word_size, L).astype(np.int32)[
-        :, None
-    ]
-    rm_np = int_to_limbs(cfg.r, cfg.word_size, L).astype(np.int32)[:, None]
-    madd = _rcb16_madd(cfg)
-
-    def kernel(
-        q, b3m, rm, cx, cy, sk, ox, oy, oz, accx, accy, accz, mont_acc
-    ):
-        c = pl.program_id(1)
-
-        @pl.when(c == 0)
-        def _():
-            accx[:] = jnp.zeros_like(accx)
-            accy[:] = rm[:] + jnp.zeros_like(accy)
-            accz[:] = jnp.zeros_like(accz)
-
-        x3, y3, z3 = madd(
-            q[:], b3m[:], mont_acc, accx[:], accy[:], accz[:], cx[0], cy[0]
-        )
-        keep = sk[0] != 0  # [1, tile]
-        x3 = jnp.where(keep, accx[:], x3)
-        y3 = jnp.where(keep, accy[:], y3)
-        z3 = jnp.where(keep, accz[:], z3)
-        accx[:] = x3
-        accy[:] = y3
-        accz[:] = z3
-        ox[0] = x3
-        oy[0] = y3
-        oz[0] = z3
-
-    def scan_rows(cx, cy, skip):
-        assert cx.shape == (C, L, R), cx.shape
-        assert skip.shape == (C, 1, R), skip.shape
-        assert R % tile == 0, (R, tile)
-        grid = (R // tile, C)
-        inspec = pl.BlockSpec(
-            (1, L, tile), lambda r, c: (c, 0, r), memory_space=pltpu.VMEM
-        )
-        skspec = pl.BlockSpec(
-            (1, 1, tile), lambda r, c: (c, 0, r), memory_space=pltpu.VMEM
-        )
-        outspec = pl.BlockSpec(
-            (1, L, tile), lambda r, c: (c, 0, r), memory_space=pltpu.VMEM
-        )
-        cspec = pl.BlockSpec(
-            (L, 1), lambda r, c: (0, 0), memory_space=pltpu.VMEM
-        )
-        out_shape = jax.ShapeDtypeStruct((C, L, R), jnp.int32)
-        return pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[cspec, cspec, cspec, inspec, inspec, skspec],
-            out_specs=(outspec, outspec, outspec),
-            out_shape=(out_shape, out_shape, out_shape),
-            scratch_shapes=[
-                pltpu.VMEM((L, tile), jnp.int32),
-                pltpu.VMEM((L, tile), jnp.int32),
-                pltpu.VMEM((L, tile), jnp.int32),
-                pltpu.VMEM((2 * L + 1, tile), jnp.int32),
-            ],
-            interpret=interpret,
-        )(
-            jnp.asarray(q_np),
-            jnp.asarray(aux_np),
-            jnp.asarray(rm_np),
-            cx,
-            cy,
-            skip,
         )
 
     return scan_rows

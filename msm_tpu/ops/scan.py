@@ -158,23 +158,26 @@ def blocked_prefix_scan(
 
 def prefix_at(
     ec: CurveCtx,
-    row_prefix: PointBatch,
+    row_prefix,
     offsets: PointBatch,
     idx: jax.Array,
-    limbs_first: bool = False,
+    packed3: bool = False,
 ) -> PointBatch:
     """Gather inclusive prefix values at positions ``idx`` (int32 [m]);
-    idx == -1 yields the identity (empty prefix). ``limbs_first=True``
-    means row_prefix is stored [C, L, R] (the Pallas scan kernel's
-    copy-free layout) instead of [C, R, L]."""
-    C = row_prefix.x.shape[0]
+    idx == -1 yields the identity (empty prefix). ``packed3=True`` means
+    row_prefix is the scan kernel's [C, R, 3L] boundary layout (x||y||z
+    limbs contiguous per row — ONE gathered row per position); otherwise
+    a PointBatch stored [C, R, L]."""
+    C = (row_prefix.shape if packed3 else row_prefix.x.shape)[0]
     valid = idx >= 0
     i = jnp.maximum(idx, 0)
     r = i // C
     c = i % C
-    if limbs_first:
+    if packed3:
+        L = row_prefix.shape[-1] // 3
+        row = row_prefix[c, r]  # [m, 3L] — one fast row gather
         rp = PointBatch(
-            row_prefix.x[c, :, r], row_prefix.y[c, :, r], row_prefix.z[c, :, r]
+            row[..., :L], row[..., L : 2 * L], row[..., 2 * L :]
         )
     else:
         rp = PointBatch(
@@ -263,17 +266,17 @@ def bucket_boundary_prefix(
         return _boundary_prefix_compressed(
             ec, packed, pv, sbit if signs is not None else None, R, ends
         )
-    row_prefix, offsets, limbs_first = _sorted_prefix(
+    row_prefix, offsets, packed3 = _sorted_prefix(
         ec, pts, pv, sbit if signs is not None else None, num_rows,
         affine=affine, packed=packed,
     )
     return prefix_at(
-        ec, row_prefix, offsets, ends - 1, limbs_first=limbs_first
+        ec, row_prefix, offsets, ends - 1, packed3=packed3
     )
 
 
 def _decode_payload_step_major(
-    pv: jax.Array, sbit: int | None, R: int
+    pv: jax.Array, sbit: int | None, R: int, table_rows: int | None = None
 ) -> tuple[jax.Array, jax.Array]:
     """Transpose the sorted payload vector to step-major order (element
     (c, r) = sorted position r*C + c) and split it into the gather
@@ -281,12 +284,26 @@ def _decode_payload_step_major(
     range [r*C, (r+1)*C) per lane r; transposing the 4 MB payload VECTOR
     (not the gathered coordinate data) keeps the gather itself landing
     directly in kernel layout. Shared by _sorted_prefix and
-    _boundary_prefix_compressed so the sbit/layout invariant lives once."""
+    _boundary_prefix_compressed so the sbit/layout invariant lives once.
+
+    ``table_rows`` (GLV): the packed table has table_rows physical rows
+    but the stream indexes 2*table_rows logical columns (columns >= n are
+    the phi copies). The phi bit moves from the index into BIT 1 of the
+    returned flag row (bit 0 stays the bucket sign) and the returned
+    permutation is the physical row."""
     n = pv.shape[0]
     pv2 = pv.reshape(R, n // R).swapaxes(0, 1).reshape(n)
     if sbit is not None:
-        return pv2 & ((1 << sbit) - 1), pv2 >> sbit
-    return pv2, jnp.zeros((n,), jnp.int32)
+        idx = pv2 & ((1 << sbit) - 1)
+        sg = pv2 >> sbit
+    else:
+        idx = pv2
+        sg = jnp.zeros((n,), jnp.int32)
+    if table_rows is not None:
+        assert table_rows & (table_rows - 1) == 0, table_rows
+        sg = sg | ((idx // table_rows) << 1)
+        idx = idx % table_rows
+    return idx, sg
 
 
 def _boundary_prefix_compressed(
@@ -320,10 +337,13 @@ def _boundary_prefix_compressed(
     C = n // R
     Cp = C // 2
     D = coord_words(cfg)
+    W = packed.shape[-1]  # 2D, or 3D triple rows under GLV
     interp = pallas_interpret()
-    perm2, sgv = _decode_payload_step_major(pv, sbit, R)
-    g = packed[perm2]  # [n, 2D] — the ONLY per-subtask gather
-    gxy = g.reshape(C, R, 2 * D).swapaxes(1, 2)
+    perm2, sgv = _decode_payload_step_major(
+        pv, sbit, R, table_rows=packed.shape[0] if cfg.glv else None
+    )
+    g = packed[perm2]  # [n, W] — the ONLY per-subtask gather
+    gxy = g.reshape(C, R, W).swapaxes(1, 2)
     sg3 = sgv.reshape(C, 1, R)
     rx, ry, rz = compressed_prefix_scan(cfg, gxy, sg3, interpret=interp)
     ox, oy, oz = make_row_offsets(cfg, R, interpret=interp)(
@@ -347,9 +367,17 @@ def _boundary_prefix_compressed(
 
     need_s = valid & (c % 2 == 0)
     sel = c * R + r  # step-major flat index of element i
-    srow = g[sel]  # [B, 2D]
-    x_l = unpack_coords(srow[:, :D], cfg)
-    y_l = unpack_coords(srow[:, D:], cfg)
+    srow = g[sel]  # [B, W]
+    fl = sgv[sel]  # bit 0 sign, bit 1 phi (GLV)
+    if cfg.glv:
+        xd = jnp.where(
+            ((fl >> 1) != 0)[:, None], srow[:, D : 2 * D], srow[:, :D]
+        )
+        x_l = unpack_coords(xd, cfg)
+        y_l = unpack_coords(srow[:, 2 * D :], cfg)
+    else:
+        x_l = unpack_coords(srow[:, :D], cfg)
+        y_l = unpack_coords(srow[:, D:], cfg)
     q_limbs = jnp.asarray(
         int_to_limbs(cfg.curve.modulus, cfg.word_size, cfg.num_words).astype(
             np.int64
@@ -357,7 +385,7 @@ def _boundary_prefix_compressed(
         jnp.int32,
     )
     y_l = jnp.where(
-        (sgv[sel] != 0)[:, None], q_limbs[None, :] - y_l, y_l
+        ((fl & 1) != 0)[:, None], q_limbs[None, :] - y_l, y_l
     )
     rm = jnp.asarray(
         int_to_limbs(cfg.r, cfg.word_size, cfg.num_words).astype(np.int64),
@@ -475,13 +503,17 @@ def _sorted_prefix(
     ``pts`` may be None when ``packed`` is given and the kernel path is
     available (the fused-convert models never materialize the PointBatch).
 
-    Returns (row_prefix, row_offsets, limbs_first): the kernel path stores
-    row_prefix [C, L, R] (limbs_first=True) so the kernel output needs no
-    layout copy; the XLA path stays [C, R, L]."""
+    Returns (row_prefix, row_offsets, packed3): the kernel path stores
+    row_prefix as the [C, R, 3L] boundary-gather layout (packed3=True,
+    emitted directly by the scan kernel); the XLA path stays a PointBatch
+    [C, R, L]."""
     n = pv.shape[0]
     R = num_rows
+    # GLV kernel runs need the triple-row packed table (the doubled
+    # PointBatch would rebuild the slow 2n-row gather); without it, fall
+    # through to the XLA path over the doubled pts.
     use_kernel = affine and fused_scan_available(n, R) and (
-        packed is not None or pts is not None
+        packed is not None or (pts is not None and not ec.cfg.glv)
     )
     idx_mask = (1 << sbit) - 1 if sbit is not None else None
     if not use_kernel:
@@ -503,24 +535,25 @@ def _sorted_prefix(
             [pack_coords(pts.x, ec.cfg), pack_coords(pts.y, ec.cfg)],
             axis=-1,
         )
-    perm2, sg = _decode_payload_step_major(pv, sbit, R)
-    g = packed[perm2]  # [n, 2P] — the ONLY per-subtask gather
-    W = g.shape[-1]
-    # [C, 2P, R]: XLA's gather emits rows-minor data, so this transpose is
-    # a layout assignment, not a copy — and the kernel wants coords-first
-    rx, ry, rz = make_scan_rows(ec.cfg, C, R, interpret=pallas_interpret())(
-        g.reshape(C, R, W).swapaxes(1, 2), sg.reshape(C, 1, R)
+    perm2, sg = _decode_payload_step_major(
+        pv, sbit, R, table_rows=packed.shape[0] if ec.cfg.glv else None
     )
-    row_prefix = PointBatch(rx, ry, rz)
+    g = packed[perm2]  # [n, W] — the ONLY per-subtask gather
+    W = g.shape[-1]
+    # [C, W, R]: XLA's gather emits rows-minor data, so this transpose is
+    # a layout assignment, not a copy — and the kernel wants coords-first
+    pe3, tx, ty, tz = make_scan_rows(
+        ec.cfg, C, R, interpret=pallas_interpret()
+    )(g.reshape(C, R, W).swapaxes(1, 2), sg.reshape(C, 1, R))
     from msm_tpu.ops.pallas_prefix import make_row_offsets
 
     # fused exclusive-prefix kernel over the [L, R] row totals: one dispatch
     # instead of the ~25 of the blocked-XLA exclusive_prefix_points chain
     ox, oy, oz = make_row_offsets(ec.cfg, R, interpret=pallas_interpret())(
-        rx[-1], ry[-1], rz[-1]
+        tx, ty, tz
     )
     offsets = PointBatch(ox, oy, oz)
-    return row_prefix, offsets, True
+    return pe3, offsets, True
 
 
 def bucket_reduce_running(ec: CurveCtx, buckets: PointBatch) -> PointBatch:

@@ -37,7 +37,7 @@ def main() -> None:
     import numpy as np
 
     from msm_tpu.models import common
-    from msm_tpu.models.cuzk import cuzk_window_sums
+    from msm_tpu.models.cuzk import cuzk_msm_point
     from msm_tpu.models.geometry import MsmGeometry, pick_geometry
     from msm_tpu.oracle.pyecc import Curve
     from msm_tpu.params import BN254, pick_config
@@ -99,14 +99,14 @@ def main() -> None:
             )
         try:
             t0 = time.time()
-            ws = cuzk_window_sums(xd, yd, sd, cfg, geom)
-            sync(ws)
+            pt = cuzk_msm_point(xd, yd, sd, cfg, geom)
+            sync(pt)
             compile_s = time.time() - t0
             times = []
             for _ in range(args.reps):
                 t0 = time.time()
-                ws = cuzk_window_sums(xd, yd, sd, cfg, geom)
-                sync(ws)
+                pt = cuzk_msm_point(xd, yd, sd, cfg, geom)
+                sync(pt)
                 times.append(time.time() - t0)
             ms = min(times) * 1e3
             results[name] = ms
@@ -115,7 +115,7 @@ def main() -> None:
                 "rows": geom.num_rows, "compile_s": round(compile_s, 1),
             }), flush=True)
             if args.verify:
-                res = common.window_sums_to_result(np.asarray(ws), cfg)
+                res = common.std_point_to_jpoint(np.asarray(pt), cfg)
                 ok = cv.eq(res, want)
                 print(json.dumps({"variant": name, "verified": bool(ok)}),
                       flush=True)

@@ -42,17 +42,22 @@ def test_fused_scan_matches_blocked_scan():
         return a.reshape(R, C, w).swapaxes(0, 1)
 
     scan = make_scan_rows(CFG, C, R, tile=256, interpret=True)
-    rx, ry, rz = scan(
+    pe3, tx, ty, tz = scan(
         arrange(packed, 2 * coord_words(CFG)).swapaxes(1, 2),  # [C, 2D, R]
         signs.reshape(R, C).swapaxes(0, 1).reshape(C, 1, R),
     )
-    got = PointBatch(  # [C, L, R] -> [C, R, L]
-        rx.swapaxes(1, 2), ry.swapaxes(1, 2), rz.swapaxes(1, 2)
+    got = PointBatch(  # [C, R, 3L] boundary layout -> [C, R, L] batch
+        pe3[..., :L], pe3[..., L : 2 * L], pe3[..., 2 * L :]
     )
 
     spts = ec.neg_where(signs.astype(bool), pts)
     want, _ = blocked_prefix_scan(ec, spts, R)
     assert bool(jnp.all(ec.eq(want, got)))
+    # lane-total outputs match the last prefix step, limbs-first
+    tot = PointBatch(tx.T, ty.T, tz.T)
+    last = PointBatch(pe3[-1, :, :L], pe3[-1, :, L : 2 * L],
+                      pe3[-1, :, 2 * L :])
+    assert bool(jnp.all(ec.eq(tot, last)))
 
 
 def test_row_offsets_kernel_matches_xla():
@@ -261,13 +266,45 @@ def test_fused_scan_other_curves(curve):
     L = cfg.num_words
     W = 2 * coord_words(cfg)
     scan = make_scan_rows(cfg, C, R, tile=256, interpret=True)
-    rx, ry, rz = scan(
+    pe3, _, _, _ = scan(
         packed.reshape(R, C, W).swapaxes(0, 1).swapaxes(1, 2),  # [C, W, R]
         signs.reshape(R, C).swapaxes(0, 1).reshape(C, 1, R),
     )
-    got = PointBatch(  # [C, L, R] -> [C, R, L]
-        rx.swapaxes(1, 2), ry.swapaxes(1, 2), rz.swapaxes(1, 2)
+    got = PointBatch(
+        pe3[..., :L], pe3[..., L : 2 * L], pe3[..., 2 * L :]
     )
     spts = ec.neg_where(signs.astype(bool), pts)
     want, _ = blocked_prefix_scan(ec, spts, R)
     assert bool(jnp.all(ec.eq(want, got)))
+
+
+def test_horner_ladder_kernel_matches_host():
+    """Device Horner ladder (masked doubling + cross-lane prefix) vs the
+    python-int host Horner on the same window sums, incl. identity lanes."""
+    from msm_tpu.models import common
+    from msm_tpu.ops.pallas_prefix import make_horner_ladder
+    from msm_tpu.oracle.pyecc import Curve
+
+    ec = get_curve_ctx(CFG)
+    cv = Curve(CFG.curve)
+    S, chunk = 16, 16
+    pts_j = cv.sample_points(S - 1, seed=9)
+    aff = [cv.to_affine(p) for p in pts_j]
+    x_u16, y_u16, _ = common.pad_inputs(aff, [0] * (S - 1), CFG)
+    pb = common.u16_to_mont_points(
+        ec, jnp.asarray(x_u16)[: S - 1], jnp.asarray(y_u16)[: S - 1]
+    )
+    ident = ec.identity((1,))  # window 3 empty: identity must be neutral
+    wx = jnp.concatenate([pb.x[:3], ident.x, pb.x[3:]])
+    wy = jnp.concatenate([pb.y[:3], ident.y, pb.y[3:]])
+    wz = jnp.concatenate([pb.z[:3], ident.z, pb.z[3:]])
+    hx, hy, hz = make_horner_ladder(CFG, S, chunk, interpret=True)(
+        wx.T, wy.T, wz.T
+    )
+    got_std = common.export_points_std(
+        ec, PointBatch(hx[None, :], hy[None, :], hz[None, :])
+    )
+    got = common.std_point_to_jpoint(np.asarray(got_std[0]), CFG)
+    ws_std = common.export_points_std(ec, PointBatch(wx, wy, wz))
+    want = common.window_sums_to_result(np.asarray(ws_std), CFG)
+    assert cv.eq(got, want)
