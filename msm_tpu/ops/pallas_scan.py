@@ -46,7 +46,9 @@ from msm_tpu.ops.pallas_curve import _make_field_ops, _make_mul_b3, aux_b3_limbs
 from msm_tpu.params import MsmConfig
 from msm_tpu.utils.limbs import int_to_limbs
 
-DEFAULT_TILE = 1024
+DEFAULT_TILE = 2048  # r3 hardware sweep: 2048 = 428 ms at 2^20 vs
+# 1024 = 448, 4096 = 443 (fewer grid steps amortize per-step fixed costs
+# until VMEM block pressure pushes back)
 
 
 def coord_words(cfg: MsmConfig) -> int:
@@ -232,8 +234,9 @@ def make_scan_rows(
         accz[:] = z3
         # boundary-gatherable layout: one row of 3L contiguous limbs per
         # prefix value — prefix_at's per-bucket gather reads ONE ~240 B
-        # row instead of 3x20 R-strided words (37 -> ~5 ms per 2^20 MSM)
-        ope[0] = jnp.concatenate([x3.T, y3.T, z3.T], axis=-1)
+        # row instead of 3x20 R-strided words (37 -> ~5 ms per 2^20 MSM);
+        # concat-then-transpose lets Mosaic do one (3L, tile) transpose
+        ope[0] = jnp.concatenate([x3, y3, z3], axis=0).T
 
         @pl.when(c == C - 1)
         def _():
