@@ -134,7 +134,7 @@ def prepare_points(
 
         from msm_tpu.ops.curve import pallas_interpret
 
-        tile = min(1024, n)
+        tile = min(2048, n)
         if not cfg.glv:
             packed = make_convert_pack(
                 cfg, tile=tile, interpret=pallas_interpret()

@@ -110,14 +110,19 @@ def cuzk_msm_point(
     fetch). Requires the Pallas path (callers fall back to
     cuzk_window_sums + the host Horner otherwise, matching the
     reference's host finish at msm.rs:409-416)."""
-    from msm_tpu.ops.curve import PointBatch, pallas_interpret
+    from msm_tpu.ops.curve import (
+        PointBatch, _pallas_enabled, pallas_interpret,
+    )
     from msm_tpu.ops.pallas_prefix import make_horner_ladder
 
     ec = get_curve_ctx(cfg)
     ws = _window_sums_all(x_u16, y_u16, s_u16, cfg, geom)
     S = ws.shape[0]
+    # interpret also when Pallas is off entirely (e.g. an env-pinned CPU
+    # bench run) — the ladder has no XLA fallback and must stay runnable
+    interp = pallas_interpret() or not _pallas_enabled()
     hx, hy, hz = make_horner_ladder(
-        cfg, S, cfg.chunk_size, interpret=pallas_interpret()
+        cfg, S, cfg.chunk_size, interpret=interp
     )(ws[:, 0].T, ws[:, 1].T, ws[:, 2].T)
     acc = PointBatch(hx[None, :], hy[None, :], hz[None, :])
     return common.export_points_std(ec, acc)[0]

@@ -68,7 +68,8 @@ from msm_tpu.ops.pallas_scan import _unpack_dense, coord_words
 from msm_tpu.params import MsmConfig
 from msm_tpu.utils.limbs import int_to_limbs
 
-DEFAULT_TILE = 1024
+DEFAULT_TILE = 2048  # capped at R per kernel; r3: bigger tiles amortize
+# per-grid-step fixed costs (see pallas_scan DEFAULT_TILE note)
 
 
 def _ripple_eq_p(a: jax.Array, b: jax.Array, q64, w: int, mask: int):
