@@ -42,11 +42,18 @@ def main() -> None:
             for _ in range(n)
         ]
         if n > CHUNK_MAX:  # host-chunked path: time compute_msm_jpoint
+            compute_msm_jpoint(pts, ks, cfg)  # compile + warm
             t0 = time.time()
             res = compute_msm_jpoint(pts, ks, cfg)
             ms = (time.time() - t0) * 1e3  # includes per-chunk host prep
+            ok = None
+            if args.verify:
+                from msm_tpu.oracle import best_msm
+
+                ok = bool(cv.eq(res, best_msm(pts, ks, curve=cfg.curve)))
+                assert ok, f"size 2^{sz} MISMATCH"
             print(json.dumps({"size": sz, "ms": round(ms, 1),
-                              "chunked": True}), flush=True)
+                              "chunked": True, "verified": ok}), flush=True)
             continue
         x, y, s = common.pad_inputs(pts, ks, cfg)
         xd, yd, sd = jnp.asarray(x), jnp.asarray(y), jnp.asarray(s)

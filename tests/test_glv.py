@@ -312,3 +312,29 @@ def test_glv_decompose_digits_reconstruct():
         )
         assert (k1 + k2 * g.lam - k) % r == 0, i
         assert (keys[:, i] <= cfg.num_buckets - 1).all()
+
+
+def test_glv_payload_decode_step_major():
+    """The triple-table payload decode: phi bit (index >= table_rows) moves
+    to bit 1 of the flag row, sign stays bit 0, and the returned
+    permutation is the physical row — in step-major order."""
+    import jax.numpy as jnp
+
+    from msm_tpu.ops.scan import _decode_payload_step_major
+
+    n, R = 32, 4  # stream of 2*16 logical columns over a 16-row table
+    table_rows = 16
+    rng = np.random.default_rng(5)
+    idx = rng.integers(0, 2 * table_rows, size=n).astype(np.int32)
+    sg = rng.integers(0, 2, size=n).astype(np.int32)
+    sbit = max((n - 1).bit_length(), 1)
+    pv = jnp.asarray(idx | (sg << sbit))
+    perm, fl = _decode_payload_step_major(pv, sbit, R, table_rows=table_rows)
+    perm, fl = np.asarray(perm), np.asarray(fl)
+    C = n // R
+    for c in range(C):
+        for r in range(R):
+            j = r * C + c  # lane r owns the contiguous sorted range
+            k = c * R + r  # step-major flat position
+            assert perm[k] == idx[j] % table_rows
+            assert fl[k] == (sg[j] | ((idx[j] // table_rows) << 1))
