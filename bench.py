@@ -12,6 +12,9 @@ BASELINE_MS = 2000 and report speedup = baseline / ours.
 
 Flags:
     --size N       log2 MSM size (default 20)
+    --auto         also bench the frozen glv+compress candidate (off by
+                   default: it lost 540 vs 401 ms in r3 and costs ~143 s
+                   of compile per run)
     --verify       cross-check the result against the CPU oracle (2^16 only
                    by default; slow at 2^20)
     --timings      also print a human-readable stage breakdown to stderr
@@ -299,6 +302,11 @@ def main() -> None:
                     "every host of the pod; the BASELINE 'N hosts' row)")
     ap.add_argument("--batched", type=int, default=0, metavar="B",
                     help="batched-MSM mode: B independent instances")
+    ap.add_argument("--auto", action="store_true",
+                    help="also bench the frozen glv+compress candidate "
+                    "(it lost 540 vs 401 ms at 2^20 in r3 and costs ~143 s "
+                    "of compile — off the default headline run; see "
+                    "PERF_NOTES.md round-4 freeze note)")
     args = ap.parse_args()
 
     if args.sharded:
@@ -343,18 +351,21 @@ def main() -> None:
         res = common.std_point_to_jpoint(np.asarray(pt), c)
         return Curve(c.curve).eq(res, best_msm(vp, vk, curve=c.curve))
 
-    # candidate configs: the requested one, plus (in auto mode, on real
-    # TPU) the glv+compress round-2 config IF it self-verifies on this
-    # Mosaic stack — interpret-mode bit-exactness does not rule out a
+    # candidate configs: the requested one, plus (under --auto, on real
+    # TPU) the FROZEN glv+compress round-2 config IF it self-verifies on
+    # this Mosaic stack — interpret-mode bit-exactness does not rule out a
     # hardware-compiler miscompile, so the optimized config must prove
-    # itself against the oracle before its number can be recorded
+    # itself against the oracle before its number can be recorded.
+    # Frozen per the round-3 verdicts (base 401 ms vs glv+compress 540 at
+    # 2^20; PERF_NOTES round-3/4): the candidate costs ~143 s of compile
+    # per run, so the default headline run no longer pays for it.
     req_label = "+".join(
         [k for k, on in (("glv", cfg.glv), ("compress", cfg.compress))
          if on]
     ) or "base"
     candidates = [(req_label, cfg)]
     on_tpu = jax.devices()[0].platform not in ("cpu",)
-    if not (args.glv or args.compress or args.chunk) and on_tpu:
+    if args.auto and not (args.glv or args.compress or args.chunk) and on_tpu:
         opt = replace(cfg, glv=True, compress=True)
         try:
             if _verified(opt):
@@ -414,7 +425,7 @@ def main() -> None:
     # win. Verification cost: one C++ Pippenger MSM (seconds); skipped
     # only above 2^20 without --verify (the C++ oracle itself slows).
     verified = None
-    do_verify = args.verify or (args.size <= 20 and len(measured) > 1)
+    do_verify = args.verify or args.size <= 20
     if do_verify:
         from msm_tpu.oracle import best_msm
         from msm_tpu.oracle.pyecc import Curve

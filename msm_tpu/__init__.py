@@ -84,15 +84,21 @@ def cpu_msm(points, scalars, curve=BN254):
     return best_msm(points, scalars, curve=curve)
 
 
-def run_tpu_msm(points, scalars, config=None):
+def run_tpu_msm(points, scalars, config=None, validate=False):
     """End-to-end TPU MSM (the reference's ``run_webgpu_msm``, lib.rs:76-82).
 
     ``points``: affine (x, y) int pairs; ``scalars``: ints.
     Returns the result as an affine (x, y) int pair (or None for identity).
+
+    ``validate=True`` checks the input contract first (on-curve, and
+    in-subgroup for cofactor>1 curves) and raises ``ValueError`` on
+    violation — the guard the reference gets statically from halo2curves'
+    typed points (``src/lib.rs:20-42``). Off by default: it costs ~1 us
+    per point (much more on cofactor>1 curves) and trusted callers skip it.
     """
     from msm_tpu.models.cuzk import compute_msm
 
-    return compute_msm(points, scalars, config=config)
+    return compute_msm(points, scalars, config=config, validate=validate)
 
 
 def sample_points(n: int, curve=BN254, seed: int = 0):

@@ -54,11 +54,66 @@ def ints_to_u16_array(xs: list[int], nbytes: int = 32) -> np.ndarray:
     )
 
 
+def validate_inputs(
+    points: list[tuple[int, int]],
+    scalars: list[int],
+    cfg: MsmConfig,
+) -> None:
+    """Optional input-contract guard (closes the footgun the reference
+    closes with halo2curves' typed points, ``src/lib.rs:20-42``): points
+    off the curve — or on the curve but outside the prime-order subgroup
+    when the cofactor > 1 — silently corrupt the MSM result, because the
+    pipeline's group algebra is only a homomorphism on the subgroup.
+
+    Checks, raising ``ValueError`` on the first violation:
+    - coordinate range: 0 <= x, y < q
+    - curve membership: y^2 == x^3 + a*x + b  (mod q) — one field eval
+      per point in exact host integers (~1 us/point)
+    - subgroup membership when ``cfg.curve.cofactor > 1``: [r]P == O via
+      the oracle's double-and-add (~order_bits point ops per point — much
+      slower; documented cost, only cofactor>1 curves pay it)
+
+    ``len(points) == len(scalars)`` is asserted at the pad boundary, not
+    here; scalar range needs no check (pad_inputs reduces mod r).
+    """
+    q = cfg.curve.modulus
+    a, b = cfg.curve.a, cfg.curve.b
+    for i, (x, y) in enumerate(points):
+        if not (0 <= x < q and 0 <= y < q):
+            raise ValueError(
+                f"point {i} coordinates out of field range [0, q)"
+            )
+        if (y * y - (x * x * x + a * x + b)) % q != 0:
+            raise ValueError(f"point {i} is not on the curve")
+    if cfg.curve.cofactor > 1:
+        from msm_tpu.oracle.pyecc import Curve
+
+        cv = Curve(cfg.curve)
+        r = cfg.curve.order
+        # NB: the oracle's scalar_mul reduces k mod r (group-element
+        # semantics), which would make [r]P trivially O — the subgroup
+        # test needs the UNREDUCED ladder over the full curve group
+        bits = bin(r)[2:]
+        for i, (x, y) in enumerate(points):
+            pt = cv.from_affine(x, y)
+            acc = IDENTITY
+            for bit in bits:
+                acc = cv.double(acc)
+                if bit == "1":
+                    acc = cv.add(acc, pt)
+            if not acc.is_identity():
+                raise ValueError(
+                    f"point {i} is outside the prime-order subgroup "
+                    f"(cofactor {cfg.curve.cofactor})"
+                )
+
+
 def pad_inputs(
     points: list[tuple[int, int]],
     scalars: list[int],
     cfg: MsmConfig,
     multiple: int = 1,
+    validate: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Pad to a power of two with zero scalars + generator points (zero
     digits land in bucket 0, whose multiplier is 0 — inert in both pipelines;
@@ -67,6 +122,8 @@ def pad_inputs(
     mesh shard gets an equal power-of-two slice (sharded path)."""
     n = len(points)
     assert n == len(scalars)
+    if validate:
+        validate_inputs(points, scalars, cfg)
     N = pad_size(max(n, multiple))
     gx, gy = cfg.curve.gx % cfg.curve.modulus, cfg.curve.gy % cfg.curve.modulus
     px = [p[0] for p in points] + [gx] * (N - n)

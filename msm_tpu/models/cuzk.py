@@ -199,14 +199,19 @@ def compute_msm(
     scalars: list[int],
     config: MsmConfig | None = None,
     geometry: MsmGeometry | None = None,
+    validate: bool = False,
 ) -> tuple[int, int] | None:
     """End-to-end MSM: affine int points + int scalars -> affine (x, y) or
     None for identity. The reference equivalent is compute_msm
-    (msm.rs:75-417) behind run_webgpu_msm (lib.rs:76-82)."""
+    (msm.rs:75-417) behind run_webgpu_msm (lib.rs:76-82).
+    ``validate=True`` rejects off-curve / out-of-subgroup points up front
+    (common.validate_inputs) instead of silently corrupting the result."""
     from msm_tpu.params import pick_config
 
     config = config or pick_config(len(points))
-    res = compute_msm_jpoint(points, scalars, config, geometry)
+    res = compute_msm_jpoint(
+        points, scalars, config, geometry, validate=validate
+    )
     return common.result_to_affine(res, config)
 
 
@@ -215,6 +220,7 @@ def compute_msm_jpoint(
     scalars: list[int],
     config: MsmConfig | None = None,
     geometry: MsmGeometry | None = None,
+    validate: bool = False,
 ) -> JPoint:
     """Like compute_msm but returns the oracle JPoint (test convenience)."""
     from msm_tpu.params import pick_config
@@ -224,7 +230,9 @@ def compute_msm_jpoint(
         from msm_tpu.oracle.pyecc import IDENTITY
 
         return IDENTITY
-    x_u16, y_u16, s_u16 = common.pad_inputs(points, scalars, config)
+    x_u16, y_u16, s_u16 = common.pad_inputs(
+        points, scalars, config, validate=validate
+    )
     n = x_u16.shape[0]
     if n <= CHUNK_MAX:
         from msm_tpu.ops.curve import _pallas_enabled

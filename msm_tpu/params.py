@@ -42,6 +42,11 @@ class CurveSpec:
     b: int
     gx: int  # generator, affine
     gy: int
+    #: group cofactor h = #E(F_q) / r. When h > 1, on-curve points may lie
+    #: OUTSIDE the prime-order subgroup the MSM contract assumes (the
+    #: reference gets subgroup membership for free from halo2curves' typed
+    #: points, src/lib.rs:20-42); validate_inputs checks [r]P == O then.
+    cofactor: int = 1
 
     @property
     def modulus_bits(self) -> int:
@@ -75,6 +80,7 @@ BLS12_377 = CurveSpec(
     b=1,
     gx=81937999373150964239938255573465948239988671502647976594219695644855304257327692006745978603320413799295628339695,
     gy=241266749859715473739788878240585681733927191168601896383759122102112907357779751001206799952863815012735208165030,
+    cofactor=30631250834960419227450344600217059328,  # (x-1)^2/3, x = 0x8508C00000000001
 )
 
 #: Pasta/Pallas curve — kept for parity with the reference's naive path
@@ -101,6 +107,7 @@ BLS12_381 = CurveSpec(
     b=4,
     gx=3685416753713387016781088315183077757961620795782546409894578378688607592378376318836054947676345821548104185464507,
     gy=1339506544944476473020471379941921221584933875938349620426543736416511423956333506472724655353366534992391756441569,
+    cofactor=76329603384216526031706109802092473003,  # (x-1)^2/3, x = -0xD201000000010000
 )
 
 #: secp256k1 — the classic GLV curve (a = 0, p ≡ 1 mod 3, the endomorphism

@@ -118,6 +118,68 @@ def test_cuzk_msm_32bit_scalars():
     assert CV.eq(got, want)
 
 
+def test_validate_rejects_off_curve_point():
+    """validate=True must reject a point off the curve instead of silently
+    corrupting the result (the reference's halo2curves types close this
+    statically, src/lib.rs:20-42)."""
+    from msm_tpu import run_tpu_msm
+
+    pts, ks = _fixture(8, seed=13)
+    bad = list(pts)
+    bad[3] = (bad[3][0], (bad[3][1] + 1) % BN254.modulus)  # off-curve
+    cfg = MsmConfig(curve=BN254, chunk_size=8)
+    with pytest.raises(ValueError, match="not on the curve"):
+        run_tpu_msm(bad, ks, config=cfg, validate=True)
+    # out-of-range coordinate is rejected before the curve eval
+    bad[3] = (pts[3][0] + BN254.modulus, pts[3][1] + BN254.modulus)
+    with pytest.raises(ValueError, match="out of field range"):
+        run_tpu_msm(bad, ks, config=cfg, validate=True)
+    # and clean inputs still compute correctly with validation on
+    got = run_tpu_msm(pts, ks, config=cfg, validate=True)
+    want = CV.to_affine(CV.msm([CV.from_affine(*p) for p in pts], ks))
+    assert got == want
+
+
+def test_validate_rejects_out_of_subgroup_point():
+    """Cofactor > 1 (BLS12-381 G1, h = (x-1)^2/3): an on-curve point
+    outside the r-order subgroup must be rejected by the [r]P == O check."""
+    from msm_tpu.models.common import validate_inputs
+    from msm_tpu.params import BLS12_381
+
+    q, b, r = BLS12_381.modulus, BLS12_381.b, BLS12_381.order
+    assert BLS12_381.cofactor > 1 and q % 4 == 3
+    cv = Curve(BLS12_381)
+
+    def mul_unreduced(pt, k):
+        # the oracle's scalar_mul reduces k mod r; the subgroup witness
+        # needs the raw ladder over the full curve group
+        from msm_tpu.oracle.pyecc import IDENTITY
+
+        acc = IDENTITY
+        for bit in bin(k)[2:]:
+            acc = cv.double(acc)
+            if bit == "1":
+                acc = cv.add(acc, pt)
+        return acc
+
+    # find an on-curve point; a random curve point lies in the subgroup
+    # with probability 1/h ~ 2^-126, and we assert it does not
+    pt = None
+    for x in range(2, 64):
+        y2 = (x * x * x + b) % q
+        y = pow(y2, (q + 1) // 4, q)
+        if y * y % q == y2:
+            pt = (x, y)
+            break
+    assert pt is not None
+    assert not mul_unreduced(cv.from_affine(*pt), r).is_identity()
+    cfg = MsmConfig(curve=BLS12_381, chunk_size=8)
+    with pytest.raises(ValueError, match="outside the prime-order subgroup"):
+        validate_inputs([pt], [1], cfg)
+    # the generator itself passes
+    validate_inputs([(BLS12_381.gx, BLS12_381.gy)], [1], cfg)
+
+
 @pytest.mark.slow
 def test_cuzk_msm_4096():
     pts, ks = _fixture(4096, seed=7)
