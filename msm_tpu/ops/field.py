@@ -317,6 +317,95 @@ def mont_mul_eager(cfg: MsmConfig, a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.where((borrow == 0)[..., None], d, out)
 
 
+def nsafe_for(word_size: int) -> int:
+    """How many limb products fit a uint32 column before a carry
+    normalization — the reference's nSafe parameter
+    (``mont_pro_modified.template.wgsl:23-62`` computes the analogous
+    count for its u32 accumulators; msm_tpu's production path instead
+    proves a one-sweep budget for w=13, bigint.check_overflow_budget).
+    w=13 -> 64 (never needed for L <= 33), 14 -> 16, 15 -> 4, 16 -> 1."""
+    return max(1, ((1 << 32) - 1) // ((1 << word_size) - 1) ** 2)
+
+
+def _u32_norm(acc: jax.Array, w: int) -> jax.Array:
+    """Carry-normalize uint32 limb columns to < 2^w (top keeps overflow)."""
+    umask = jnp.uint32((1 << w) - 1)
+    xm = jnp.moveaxis(acc, -1, 0)
+
+    def stp(c, limb):
+        v = limb + c
+        return v >> w, v & umask
+
+    carry, limbs = jax.lax.scan(stp, jnp.zeros_like(xm[0]), xm)
+    out = jnp.moveaxis(limbs, 0, -1)
+    return out.at[..., -1].add(carry << w)
+
+
+def mul_wide_nsafe(cfg: MsmConfig, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Full 2L-limb schoolbook product in uint32 lanes with carries
+    normalized once every ``nsafe_for(w)`` accumulated products — the
+    nSafe-parameterized product of the reference's mont_pro_modified
+    (``mont_pro_modified.template.wgsl:23-62``), which omits carries for
+    nSafe loop iterations then resolves them. Canonical limbs in,
+    canonical 2L limbs out. Works for the full 13..16-bit sweep (w=16
+    degenerates to eager per-step carries, nsafe=1)."""
+    w, L = cfg.word_size, cfg.num_words
+    ns = nsafe_for(w)
+    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    au = jnp.broadcast_to(a, batch + (L,)).astype(jnp.uint32)
+    bu = jnp.broadcast_to(b, batch + (L,)).astype(jnp.uint32)
+    acc = jnp.zeros(batch + (2 * L,), jnp.uint32)
+    for g0 in range(0, L, ns):
+        for i in range(g0, min(g0 + ns, L)):
+            acc = acc.at[..., i : i + L].add(au[..., i : i + 1] * bu)
+        acc = _u32_norm(acc, w)
+    return acc
+
+
+def mont_reduce_wide(cfg: MsmConfig, t: jax.Array) -> jax.Array:
+    """Montgomery reduction of a full 2L-limb product: T -> T*R^-1 mod p —
+    the reference's plain 512-bit reduce ``montgomery_reduce_2``
+    (``mont_product.template.wgsl:4-54``), as a windowed uint32 scan.
+    Canonical 2L limbs in (T < p*R), canonical L limbs out (< p)."""
+    w, L = cfg.word_size, cfg.num_words
+    umask = jnp.uint32(cfg.mask)
+    n0 = jnp.uint32(cfg.n0)
+    q = jnp.asarray(
+        int_to_limbs(cfg.curve.modulus, w, L).astype(np.int64), jnp.uint32
+    )
+    assert t.shape[-1] == 2 * L, (t.shape, L)
+    tu = t.astype(jnp.uint32)
+    # sliding window of L+2 limbs starting at REDC step i; limbs above the
+    # window enter from xs as the window shifts down
+    acc0 = tu[..., : L + 2]
+    hi = tu[..., L + 2 :]  # 2L - (L+2) = L-2 limbs
+    pad = jnp.zeros(t.shape[:-1] + (2,), jnp.uint32)
+    xs = jnp.moveaxis(jnp.concatenate([hi, pad], axis=-1), -1, 0)  # [L, ...]
+
+    def step(acc, t_hi):
+        m = (acc[..., 0] * n0) & umask
+        acc = _u32_norm(acc.at[..., :L].add(m[..., None] * q), w)
+        # acc[0] == 0 now; shift the window down one limb
+        return jnp.concatenate([acc[..., 1:], t_hi[..., None]], axis=-1), None
+
+    acc, _ = jax.lax.scan(step, acc0, xs)
+    out = acc[..., :L].astype(jnp.int32)
+    # bound: out < 2p — one conditional subtract (mont_product's tail)
+    qi = jnp.asarray(int_to_limbs(cfg.curve.modulus, w, L).astype(np.int32))
+    d, borrow = bigint.sub(out, qi + jnp.zeros_like(out), w)
+    return jnp.where((borrow == 0)[..., None], d, out)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def mont_mul_nsafe(cfg: MsmConfig, a: jax.Array, b: jax.Array) -> jax.Array:
+    """nSafe-parameterized Montgomery product: grouped-carry schoolbook
+    product + plain wide reduce — the benchmarkable analogue of the
+    reference's ``mont_pro_modified`` (nSafe carry omission) composed with
+    ``montgomery_reduce_2`` (``mont_product.template.wgsl:4-54``).
+    Canonical in/out; word sizes 13..16 (utils.rs:399-431 sweep)."""
+    return mont_reduce_wide(cfg, mul_wide_nsafe(cfg, a, b))
+
+
 @functools.lru_cache(maxsize=None)
 def get_field_ctx(cfg: MsmConfig) -> FieldCtx:
     return FieldCtx(cfg)

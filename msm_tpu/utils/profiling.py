@@ -166,7 +166,10 @@ def mont_variant_bench(cfg=None, batch: int = 1 << 16, reps: int = 5) -> dict:
                           kernel's natural unit; reported per-mul)
     - ``mont_eager_w{13..16}`` — uint32 eager-carry classic CIOS swept over
                           the reference's word-size range 13..16
-                          (utils.rs:399-431; mont_pro_cios/modified analogue)
+                          (utils.rs:399-431; mont_pro_cios analogue)
+    - ``mont_nsafe_w{13..16}`` — nSafe grouped-carry product + plain wide
+                          reduce (mont_pro_modified + mont_product/
+                          montgomery_reduce_2 analogues, ops/field.py)
     """
     import jax
     import jax.numpy as jnp
@@ -203,7 +206,7 @@ def mont_variant_bench(cfg=None, batch: int = 1 << 16, reps: int = 5) -> dict:
     # word-size sweep of the eager uint32 CIOS (reference sweeps 13..16)
     from dataclasses import replace
 
-    from msm_tpu.ops.field import mont_mul_eager
+    from msm_tpu.ops.field import mont_mul_eager, mont_mul_nsafe
 
     for w in (13, 14, 15, 16):
         cw = replace(cfg, word_size=w)
@@ -218,5 +221,8 @@ def mont_variant_bench(cfg=None, batch: int = 1 << 16, reps: int = 5) -> dict:
         )
         out[f"mont_eager_w{w}_ms"] = 1e3 * _timeit(
             lambda x, y, c=cw: mont_mul_eager(c, x, y), aw, bw, reps=reps
+        )
+        out[f"mont_nsafe_w{w}_ms"] = 1e3 * _timeit(
+            lambda x, y, c=cw: mont_mul_nsafe(c, x, y), aw, bw, reps=reps
         )
     return out

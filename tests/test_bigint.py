@@ -87,6 +87,26 @@ def test_overflow_budget_check():
     bigint.check_overflow_budget(13, 20)
 
 
+def test_w14_lazy_budget_cannot_close():
+    """The VERDICT r3 item-10 arithmetic, asserted exactly (see the
+    check_overflow_budget docstring): a full 19-term column at w=14
+    overflows both signed AND unsigned 32-bit accumulation, and closing
+    it with grouped sweeps costs more row-ops than the L=20 -> 19 mul
+    saving buys — so w=13/L=20 is the lazy-path production frontier."""
+    prod = (2**14 - 1) ** 2
+    col = 19 * prod
+    assert col > 2**31  # signed budget: over by 2.37x
+    assert col > 2**32  # even unsigned lanes cannot hold it
+    # grouped accumulation: at most 7 products per signed column
+    per_col = (2**31 - 2**19) // prod
+    assert per_col == 7
+    groups = -(-19 // per_col)
+    assert groups == 3  # 2 extra sweeps per product phase, 4 per mont-mul
+    extra_sweep_ops = 4 * 3 * (2 * 19)  # 4 sweeps x ~3 ops x 2L columns
+    muls_saved = 2 * (20**2 - 19**2)
+    assert extra_sweep_ops > muls_saved  # 456 > 78: a strict loss
+
+
 def test_shr_bits():
     rng = random.Random(7)
     vals = [rng.randrange(1 << 500) for _ in range(8)]

@@ -196,7 +196,10 @@ def test_cuzk_msm_sliced_path(monkeypatch):
 
     monkeypatch.setattr(cuzk_mod, "SLICE", 256)
     pts, ks = _fixture(1024, seed=9)
-    got = compute_msm_jpoint(pts, ks)
+    # chunk 8 keeps CPU-backend compile small (~9s vs ~95s at the n-default
+    # chunk 13); the slice/merge branch under test is window-size independent
+    cfg = MsmConfig(curve=BN254, chunk_size=8)
+    got = compute_msm_jpoint(pts, ks, config=cfg)
     want = CV.msm([CV.from_affine(*p) for p in pts], ks)
     assert CV.eq(got, want)
 
@@ -212,6 +215,7 @@ def test_cuzk_msm_host_chunked_path(monkeypatch):
     monkeypatch.setattr(cuzk_mod, "SLICE", 256)
     monkeypatch.setattr(cuzk_mod, "CHUNK_MAX", 512)
     pts, ks = _fixture(1024, seed=10)
-    got = compute_msm_jpoint(pts, ks)
+    cfg = MsmConfig(curve=BN254, chunk_size=8)  # small compile (see above)
+    got = compute_msm_jpoint(pts, ks, config=cfg)
     want = CV.msm([CV.from_affine(*p) for p in pts], ks)
     assert CV.eq(got, want)
