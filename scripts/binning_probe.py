@@ -5,28 +5,36 @@ VERDICT r3 item 1: the 138 ms sort+gather block (103 ms random row gather +
 piece of the MSM budget, and the standard GPU answer (multi-pass bucket
 binning) was rejected in r2/r3 on estimates. This script measures every
 primitive such a design would be built from, on the real chip, so the
-decision is data:
+decision is data.
 
-  gather      the production form (packed[perm], 64 B rows) + locality
-              probes: random vs sequential vs reversed vs 8-row-granule
-              indices. If sequential ~= random, the gather engine is
-              descriptor-bound and NO partitioning scheme can help (only
-              row-count reduction would, and 16n touches are structural).
-  scatter     out.at[perm].set(rows) — is the scatter direction cheaper?
-  sortpay     lax.sort carrying W extra int32 payload operands,
-              W in {1, 2, 4, 8, 16}: the "sort carries the rows" design
-              needs W=16 to land under (sort + gather)/subtask ~ 8.6 ms.
+Measurement model (PERF_NOTES rules): a single 2^20-row op sits UNDER the
+~25 ms axon dispatch floor, so every probe amortizes exactly like
+production — S=16 independent instances inside ONE jitted program (the 16
+subtasks of a 2^20 MSM) — and reports (wall - floor)/S per instance next
+to the raw wall time. `floor_ms` is the measured null-program fetch.
+
+  sweep       THE DECISION PROBE. Head-to-head at production shape
+              (n=2^20, 16 subtasks, 64 B packed rows, lax.map batch 4):
+                a) sortgather: sort (key, idx+sign payload), step-major
+                   payload transpose, table[perm] row gather  [today]
+                b) sortride:   sort (key, sign, 16 row words) — the rows
+                   ride the sort as payload operands; NO gather; the 16
+                   sorted columns transpose to kernel layout [candidate]
+              If b < a, the 103 ms gather disappears behind a wider sort.
+  gather      locality probes (random vs sequential vs bin-local indices),
+              16 gathers/program. If sequential ~= random, the gather
+              engine is descriptor-bound and NO partitioning can help.
+  scatter     out.at[perm].set(rows): is the scatter direction cheaper?
+  sortpay     lax.sort carrying W extra int32 payloads, W in {1,4,16} —
+              the sort-cost-vs-width curve behind the sweep verdict.
   route       Pallas per-row VMEM->VMEM dynamic-index row copy (the
-              binning kernel's inner routing step). ns/row here bounds any
-              in-VMEM binning: >= 2 passes x route must beat 6.2 ns/row.
-  dma         Pallas chunked-DMA rate: k-row copies (k in {8, 32, 128})
-              at dynamic offsets, 8 in flight — the run-granular exchange
-              a group-local partition would use (65K runs/pass/subtask vs
-              16.8M row descriptors; the r2 rejection extrapolated from
-              the per-ROW rate, this measures the per-RUN regime).
-  mxu_perm    one-hot bf16 matmul permutation of [T, 64 B] rows inside
-              VMEM (local reorder primitive: int32 -> 4x8-bit digits ->
-              [T, T] @ [T, 64] -> recombine).
+              binning kernel's inner routing step), 16n rows.
+  dma         Pallas chunked-DMA rate: k-row copies (k in {8,32,128}) at
+              dynamic offsets, 4 in flight — the run-granular exchange a
+              group-local partition would use (the r2 rejection
+              extrapolated the per-ROW rate; this measures per-RUN).
+  mxu_perm    one-hot bf16 matmul permutation of 64 B rows inside VMEM
+              (the local-reorder primitive of a two-stage partition).
 
 Usage: python scripts/binning_probe.py [--json out.json] [--only a,b,c]
 Run with nothing else on the TPU. On CPU it runs in interpret mode
@@ -36,7 +44,6 @@ Run with nothing else on the TPU. On CPU it runs in interpret mode
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import sys
 import time
@@ -44,6 +51,8 @@ import time
 sys.path.insert(0, ".")
 
 import numpy as np
+
+S = 16  # instances per program (production: 16 subtasks)
 
 
 def _timeit(f, *a, reps: int = 5) -> float:
@@ -61,56 +70,220 @@ def _timeit(f, *a, reps: int = 5) -> float:
     return min(ts) * 1e3
 
 
+_FLOOR = None
+
+
+def dispatch_floor_ms() -> float:
+    """Measured null-program dispatch+fetch cost (the axon relay floor)."""
+    global _FLOOR
+    if _FLOOR is None:
+        import jax.numpy as jnp
+
+        _FLOOR = _timeit(lambda x: x * 2 + 1, jnp.float32(3.0), reps=7)
+    return _FLOOR
+
+
+def _amort(ms: float, s: int = S) -> float:
+    return max(ms - dispatch_floor_ms(), 0.0) / s
+
+
 # ---------------------------------------------------------------------------
 # XLA-level probes
 # ---------------------------------------------------------------------------
 
 
+def probe_sweep(n: int = 1 << 20) -> dict:
+    """Production-shape decision: sort+gather (today) vs rows-ride-sort."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    R = min(16384, n // 4)  # production num_rows at 2^20
+    C = n // R
+    table = jnp.asarray(
+        rng.integers(0, 2**31, size=(n, 16), dtype=np.int64), jnp.int32
+    )
+    keys = jnp.asarray(
+        rng.integers(0, 1 << 15, size=(S, n), dtype=np.int64), jnp.int32
+    )
+    signs = jnp.asarray(
+        rng.integers(0, 2, size=(S, n), dtype=np.int64), jnp.int32
+    )
+    sbit = (n - 1).bit_length()
+
+    def sortgather(tbl, ks, sg):
+        def one(args):
+            k, s = args
+            pv = jnp.arange(n, dtype=jnp.int32) | (s << sbit)
+            _, pv = jax.lax.sort((k, pv), is_stable=False, num_keys=1)
+            pv2 = pv.reshape(R, C).swapaxes(0, 1).reshape(n)  # step-major
+            perm = pv2 & ((1 << sbit) - 1)
+            g = tbl[perm]  # [n, 16] — THE gather
+            return g.reshape(C, R, 16).swapaxes(1, 2), pv2 >> sbit
+
+        gs, sgs = jax.lax.map(one, (ks, sg), batch_size=4)
+        return jnp.sum(gs) + jnp.sum(sgs)
+
+    def sortride(tbl, ks, sg):
+        cols = tuple(tbl[:, w] for w in range(16))
+
+        def one(args):
+            k, s = args
+            res = jax.lax.sort((k,) + (s,) + cols, is_stable=False,
+                               num_keys=1)
+            srt = jnp.stack(res[1:], axis=0)  # [17, n] sorted columns
+            # step-major kernel layout: [C, 17, R]
+            g = srt.reshape(17, R, C).transpose(2, 0, 1)
+            return g
+
+        gs = jax.lax.map(one, (ks, sg), batch_size=4)
+        return jnp.sum(gs)
+
+    out = {"floor_ms": dispatch_floor_ms()}
+    a = _timeit(sortgather, table, keys, signs)
+    b = _timeit(sortride, table, keys, signs)
+    out["sortgather_ms"] = a
+    out["sortride_ms"] = b
+    out["sortgather_per_subtask_ms"] = _amort(a)
+    out["sortride_per_subtask_ms"] = _amort(b)
+    out["verdict"] = "sortride" if b < a else "sortgather"
+    return out
+
+
+def probe_sortride2(n: int = 1 << 20) -> dict:
+    """The rescue formulation of rows-ride-sort. probe_sweep showed the
+    17-payload sort costs the SAME as the 1-payload sort (sortpay), so
+    sortride's 23 ms/subtask loss is entirely the stacked 3-D step-major
+    relayout ([17, n] -> [C, 17, R] runs at ~6 GB/s). This probe isolates
+    the alternatives:
+
+      trans2d      17 independent [R, C] -> [C, R] 2-D transposes behind an
+                   optimization_barrier (is a CLEAN 2-D transpose fast?)
+      ride_sep     sort 17 ops -> barrier -> 17 separate 2-D transposes
+                   (the scan kernel would take W separate [C, R] refs)
+      ride_stack   ... + stack into [C, 17, R] (today's kernel signature)
+
+    Decision: ride_sep < sortgather_per_subtask (9.1 ms) means the 103 ms
+    gather disappears; rewire make_scan_rows to take per-word refs."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(8)
+    R = min(16384, n // 4)
+    C = n // R
+    table = jnp.asarray(
+        rng.integers(0, 2**31, size=(n, 16), dtype=np.int64), jnp.int32
+    )
+    keys = jnp.asarray(
+        rng.integers(0, 1 << 15, size=(S, n), dtype=np.int64), jnp.int32
+    )
+    signs = jnp.asarray(
+        rng.integers(0, 2, size=(S, n), dtype=np.int64), jnp.int32
+    )
+
+    def trans2d(tbl, ks):
+        def one(k):
+            cols = jax.lax.optimization_barrier(
+                tuple(tbl[:, w] + k[0] for w in range(16))
+            )
+            outs = [c.reshape(R, C).swapaxes(0, 1) for c in cols]
+            return sum(jnp.sum(o) for o in outs)
+
+        return jax.lax.map(one, ks, batch_size=4)
+
+    def ride(tbl, ks, sg, stack):
+        cols = tuple(tbl[:, w] for w in range(16))
+
+        def one(args):
+            k, s = args
+            res = jax.lax.sort((k,) + (s,) + cols, is_stable=False,
+                               num_keys=1)
+            srt = jax.lax.optimization_barrier(res[1:])
+            outs = [c.reshape(R, C).swapaxes(0, 1) for c in srt]
+            if stack:
+                return jnp.sum(jnp.stack(outs, axis=1))
+            return sum(jnp.sum(o) for o in outs)
+
+        return jax.lax.map(one, (ks, sg), batch_size=4)
+
+    out = {"floor_ms": dispatch_floor_ms()}
+    ms = _timeit(trans2d, table, keys)
+    out["trans2d_ms"] = ms
+    out["trans2d_per_subtask_ms"] = _amort(ms)
+    ms = _timeit(lambda t, k, s: ride(t, k, s, False), table, keys, signs)
+    out["ride_sep_ms"] = ms
+    out["ride_sep_per_subtask_ms"] = _amort(ms)
+    ms = _timeit(lambda t, k, s: ride(t, k, s, True), table, keys, signs)
+    out["ride_stack_ms"] = ms
+    out["ride_stack_per_subtask_ms"] = _amort(ms)
+    return out
+
+
 def probe_gather(n: int = 1 << 20) -> dict:
+    """16 table[perm] gathers per program; random vs structured indices."""
+    import jax
     import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
     table = jnp.asarray(
         rng.integers(0, 2**31, size=(n, 16), dtype=np.int64), jnp.int32
     )
-    perm = jnp.asarray(rng.permutation(n).astype(np.int32))
-    seq = jnp.arange(n, dtype=jnp.int32)
-    # "bin-local" indices: random within 8192-row windows (the locality a
-    # 128-way coarse partition would buy before the fine gather)
-    win = 8192
-    binlocal = jnp.asarray(
-        (
-            (np.arange(n) // win) * win
-            + rng.integers(0, win, size=n)
-        ).astype(np.int32)
-    )
-    out = {}
-    out["rand_ms"] = _timeit(lambda t, p: t[p], table, perm)
-    out["seq_ms"] = _timeit(lambda t, p: t[p], table, seq)
-    out["rev_ms"] = _timeit(lambda t, p: t[p], table, seq[::-1])
-    out["binlocal8k_ms"] = _timeit(lambda t, p: t[p], table, binlocal)
-    tg = table.reshape(n // 8, 128)
-    pg = jnp.asarray(rng.permutation(n // 8).astype(np.int32))
-    out["granule8_512B_ms"] = _timeit(lambda t, p: t[p], tg, pg)
-    out["rand_ns_per_row"] = out["rand_ms"] * 1e6 / n
-    out["seq_ns_per_row"] = out["seq_ms"] * 1e6 / n
+
+    def many(tbl, perms):
+        return jax.lax.map(
+            lambda p: jnp.sum(tbl[p]), perms, batch_size=4
+        )
+
+    out = {"floor_ms": dispatch_floor_ms()}
+    variants = {
+        "rand": np.stack([rng.permutation(n) for _ in range(S)]),
+        "seq": np.stack(
+            [np.roll(np.arange(n), 13 * i) for i in range(S)]
+        ),
+        # random within 8192-row windows (the locality a 128-way coarse
+        # partition would buy before the fine gather)
+        "binlocal8k": np.stack(
+            [
+                (np.arange(n) // 8192) * 8192
+                + rng.integers(0, 8192, size=n)
+                for _ in range(S)
+            ]
+        ),
+    }
+    for name, idx in variants.items():
+        p = jnp.asarray(idx.astype(np.int32))
+        ms = _timeit(many, table, p)
+        out[f"{name}_ms"] = ms
+        out[f"{name}_ns_per_row"] = _amort(ms) * 1e6 / n
     return out
 
 
 def probe_scatter(n: int = 1 << 20) -> dict:
+    import jax
     import jax.numpy as jnp
 
     rng = np.random.default_rng(1)
     rows = jnp.asarray(
         rng.integers(0, 2**31, size=(n, 16), dtype=np.int64), jnp.int32
     )
-    perm = jnp.asarray(rng.permutation(n).astype(np.int32))
+    perms = jnp.asarray(
+        np.stack([rng.permutation(n) for _ in range(S)]).astype(np.int32)
+    )
 
-    def scat(r, p):
-        return jnp.zeros_like(r).at[p].set(r, unique_indices=True)
+    def many(r, ps):
+        def one(p):
+            return jnp.sum(
+                jnp.zeros_like(r).at[p].set(r, unique_indices=True)
+            )
 
-    ms = _timeit(scat, rows, perm)
-    return {"rand_ms": ms, "rand_ns_per_row": ms * 1e6 / n}
+        return jax.lax.map(one, ps, batch_size=4)
+
+    ms = _timeit(many, rows, perms)
+    return {
+        "rand_ms": ms,
+        "rand_ns_per_row": _amort(ms) * 1e6 / n,
+        "floor_ms": dispatch_floor_ms(),
+    }
 
 
 def probe_sortpay(n: int = 1 << 20) -> dict:
@@ -119,24 +292,27 @@ def probe_sortpay(n: int = 1 << 20) -> dict:
 
     rng = np.random.default_rng(2)
     keys = jnp.asarray(
-        rng.integers(0, 1 << 15, size=n, dtype=np.int64), jnp.int32
+        rng.integers(0, 1 << 15, size=(S, n), dtype=np.int64), jnp.int32
     )
-    out = {}
-    for w in (1, 2, 4, 8, 16):
-        ops = [keys] + [
-            jnp.asarray(
-                rng.integers(0, 2**31, size=n, dtype=np.int64), jnp.int32
-            )
-            for _ in range(w)
-        ]
+    pay = jnp.asarray(
+        rng.integers(0, 2**31, size=(16, n), dtype=np.int64), jnp.int32
+    )
+    out = {"floor_ms": dispatch_floor_ms()}
+    for w in (1, 4, 16):
+        def many(ks, pv, w=w):
+            cols = tuple(pv[i] for i in range(w))
 
-        def srt(*aa):
-            res = jax.lax.sort(aa, is_stable=False, num_keys=1)
-            return res[-1]  # fetch one payload operand
+            def one(k):
+                res = jax.lax.sort(
+                    (k,) + cols, is_stable=False, num_keys=1
+                )
+                return jnp.sum(res[-1])
 
-        out[f"pay{w}_ms"] = _timeit(srt, *ops)
-    # the decision number: key + 16-word payload = the rows ride the sort
-    out["rows_ride_sort_ms"] = out["pay16_ms"]
+            return jax.lax.map(one, ks, batch_size=4)
+
+        ms = _timeit(many, keys, pay)
+        out[f"pay{w}_ms"] = ms
+        out[f"pay{w}_per_subtask_ms"] = _amort(ms)
     return out
 
 
@@ -152,26 +328,29 @@ def _interp() -> bool:
 
 
 def probe_route(n: int = 1 << 20, T: int = 2048) -> dict:
-    """Per-row dynamic routing inside VMEM: out[dst[i]] = in[i] per tile.
-    The inner step of ANY in-VMEM binning/permutation kernel; its ns/row
-    is a lower bound on a route-based pass."""
+    """Per-row dynamic routing inside VMEM: out[dst[i]] = in[i] per tile,
+    over S*n rows. The inner step of ANY in-VMEM binning/permutation
+    kernel; its ns/row is a lower bound on a route-based pass."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    C = n // T
+    total = S * n if not _interp() else n
+    C = total // T
     rng = np.random.default_rng(3)
     data = jnp.asarray(
         rng.integers(0, 2**31, size=(C, T, 16), dtype=np.int64), jnp.int32
     )
     dst = jnp.asarray(
-        np.stack([rng.permutation(T) for _ in range(C)]).astype(np.int32)
+        np.stack([rng.permutation(T) for _ in range(C)])
+        .astype(np.int32)
+        .reshape(C, 1, T)
     )
 
     def kernel(dst_ref, in_ref, out_ref):
         def body(i, _):
-            d = dst_ref[0, i]
+            d = dst_ref[0, 0, i]
             out_ref[0, pl.ds(d, 1), :] = in_ref[0, pl.ds(i, 1), :]
             return 0
 
@@ -182,7 +361,7 @@ def probe_route(n: int = 1 << 20, T: int = 2048) -> dict:
             kernel,
             grid=(C,),
             in_specs=[
-                pl.BlockSpec((1, T), lambda c: (c, 0),
+                pl.BlockSpec((1, 1, T), lambda c: (c, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, T, 16), lambda c: (c, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -193,24 +372,25 @@ def probe_route(n: int = 1 << 20, T: int = 2048) -> dict:
             interpret=_interp(),
         )(d, x)[:, :, 0]
 
-    # correctness check on one tile
-    got = np.asarray(
-        route(dst, data)
-    )
+    got = np.asarray(route(dst, data))
     want = np.zeros_like(got)
-    dn, xn = np.asarray(dst), np.asarray(data)
+    dn, xn = np.asarray(dst)[:, 0], np.asarray(data)
     for c in range(min(2, C)):
         want[c, dn[c]] = xn[c, :, 0]
     assert (got[:2] == want[:2]).all(), "route kernel wrong"
     ms = _timeit(route, dst, data)
-    return {"ms": ms, "ns_per_row": ms * 1e6 / n}
+    return {
+        "ms": ms,
+        "ns_per_row": max(ms - dispatch_floor_ms(), 0.0) * 1e6 / total,
+        "floor_ms": dispatch_floor_ms(),
+    }
 
 
 def probe_dma(n: int = 1 << 20) -> dict:
-    """Chunked-DMA exchange rate: m chunks of k rows copied HBM->VMEM at
-    dynamic offsets, NBUF in flight — the per-RUN descriptor regime of a
-    group-local radix partition (vs the per-ROW regime the r2 rejection
-    measured). Reports ns/row at k in {8, 32, 128}."""
+    """Chunked-DMA exchange rate: S*n rows moved as k-row chunks copied
+    HBM->VMEM at dynamic offsets into a 2^20-row table, 3 in flight — the
+    per-RUN descriptor regime of a group-local radix partition (vs the
+    per-ROW regime the r2 rejection measured)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -220,23 +400,24 @@ def probe_dma(n: int = 1 << 20) -> dict:
     table = jnp.asarray(
         rng.integers(0, 2**31, size=(n, 16), dtype=np.int64), jnp.int32
     )
-    out = {}
+    total = S * n if not _interp() else n
+    out = {"floor_ms": dispatch_floor_ms()}
     for k in (8, 32, 128):
-        m = n // k  # chunks to move n rows
+        m = total // k  # chunks to move total rows
+        PER = max(512 // k, 1)  # chunks per grid step
         offs = jnp.asarray(
-            (rng.integers(0, m, size=m) * k).astype(np.int32)
+            (rng.integers(0, n // k, size=m) * k)
+            .astype(np.int32)
+            .reshape(m // PER, 1, PER)
         )
-        PER = 512 // k if k < 512 else 1  # chunks per grid step
-        PER = max(PER, 1)
         NBUF = 4
+        DEPTH = min(NBUF - 1, PER)
 
-        DEPTH = min(NBUF - 1, PER)  # chunks in flight (slots are reused
-        # modulo NBUF, so at most NBUF-1 may be outstanding at once)
-
-        def kernel(off_ref, hbm_ref, out_ref, scratch, sems):
+        def kernel(off_ref, hbm_ref, out_ref, scratch, sems, k=k, PER=PER,
+                   NBUF=NBUF, DEPTH=DEPTH):
             def get(slot, j):
                 return pltpu.make_async_copy(
-                    hbm_ref.at[pl.ds(off_ref[j], k), :],
+                    hbm_ref.at[pl.ds(off_ref[0, 0, j], k), :],
                     scratch.at[slot],
                     sems.at[slot],
                 )
@@ -262,7 +443,7 @@ def probe_dma(n: int = 1 << 20) -> dict:
                 kern,
                 grid=(m // PER,),
                 in_specs=[
-                    pl.BlockSpec((PER,), lambda c: (c,),
+                    pl.BlockSpec((1, 1, PER), lambda c: (c, 0, 0),
                                  memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pl.ANY),
                 ],
@@ -276,15 +457,16 @@ def probe_dma(n: int = 1 << 20) -> dict:
                 interpret=_interp(),
             )(off, tbl)
 
-        # correctness: chunk j must equal table[offs[j]:offs[j]+k]
-        got = np.asarray(run(offs, table))
-        on = np.asarray(offs)
+        got = np.asarray(run(offs, table)[: 2 * k])
+        on = np.asarray(offs).reshape(-1)
         tn = np.asarray(table)
-        for j in (0, 1, m - 1):
+        for j in (0, 1):
             assert (got[j * k : (j + 1) * k] == tn[on[j] : on[j] + k]).all()
         ms = _timeit(run, offs, table)
         out[f"k{k}_ms"] = ms
-        out[f"k{k}_ns_per_row"] = ms * 1e6 / n
+        out[f"k{k}_ns_per_row"] = (
+            max(ms - dispatch_floor_ms(), 0.0) * 1e6 / total
+        )
     return out
 
 
@@ -297,25 +479,26 @@ def probe_mxu_perm(n: int = 1 << 20, T: int = 1024) -> dict:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    C = n // T
+    total = S * n if not _interp() else n
+    C = total // T
     rng = np.random.default_rng(5)
     data = jnp.asarray(
         rng.integers(0, 2**31, size=(C, T, 16), dtype=np.int64), jnp.int32
     )
     dst = jnp.asarray(
-        np.stack([rng.permutation(T) for _ in range(C)]).astype(np.int32)
+        np.stack([rng.permutation(T) for _ in range(C)])
+        .astype(np.int32)
+        .reshape(C, 1, T)
     )
 
     def kernel(dst_ref, in_ref, out_ref):
         x = in_ref[0]  # [T, 16] int32
-        # 4 exact unsigned 8-bit digits per word -> [T, 64] bf16
         digs = [
             ((x >> (8 * d)) & 0xFF).astype(jnp.bfloat16) for d in range(4)
         ]
         xd = jnp.concatenate(digs, axis=1)  # [T, 64]
         rows = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
-        # onehot[i, j] = (dst[j] == i), so out[i] = sum_j onehot[i,j]*xd[j]
-        onehot = (rows == dst_ref[0][None, :]).astype(jnp.bfloat16)
+        onehot = (rows == dst_ref[0, 0][None, :]).astype(jnp.bfloat16)
         y = jnp.dot(onehot, xd, preferred_element_type=jnp.float32)
         yi = y.astype(jnp.int32)  # exact: digits < 256, one-hot rows
         acc = yi[:, :16]
@@ -328,7 +511,7 @@ def probe_mxu_perm(n: int = 1 << 20, T: int = 1024) -> dict:
             kernel,
             grid=(C,),
             in_specs=[
-                pl.BlockSpec((1, T), lambda c: (c, 0),
+                pl.BlockSpec((1, 1, T), lambda c: (c, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, T, 16), lambda c: (c, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -340,16 +523,23 @@ def probe_mxu_perm(n: int = 1 << 20, T: int = 1024) -> dict:
         )(d, x)
 
     got = np.asarray(perm(dst, data))
-    dn, xn = np.asarray(dst), np.asarray(data)
+    dn, xn = np.asarray(dst)[:, 0], np.asarray(data)
     for c in range(min(2, C)):
         want = np.zeros((T, 16), np.int32)
         want[dn[c]] = xn[c]
         assert (got[c] == want).all(), "mxu_perm kernel wrong"
     ms = _timeit(perm, dst, data)
-    return {"ms": ms, "ns_per_row": ms * 1e6 / n, "tile": T}
+    return {
+        "ms": ms,
+        "ns_per_row": max(ms - dispatch_floor_ms(), 0.0) * 1e6 / total,
+        "tile": T,
+        "floor_ms": dispatch_floor_ms(),
+    }
 
 
 PROBES = {
+    "sweep": probe_sweep,
+    "sortride2": probe_sortride2,
     "gather": probe_gather,
     "scatter": probe_scatter,
     "sortpay": probe_sortpay,
@@ -357,6 +547,12 @@ PROBES = {
     "dma": probe_dma,
     "mxu_perm": probe_mxu_perm,
 }
+
+#: default run: the decision probes. The Pallas binning primitives (route/
+#: dma/mxu_perm) are MOOT after the gather-locality result (random ==
+#: sequential == bin-local at 6.2 ns/row: no index transformation can speed
+#: the gather engine) — run them explicitly with --only if ever needed.
+DEFAULT = ["sweep", "sortride2", "gather", "scatter", "sortpay"]
 
 
 def main() -> None:
@@ -368,7 +564,7 @@ def main() -> None:
     import jax
 
     n = 1 << args.n
-    names = args.only.split(",") if args.only else list(PROBES)
+    names = args.only.split(",") if args.only else DEFAULT
     results = {"n_log2": args.n, "platform": jax.devices()[0].platform}
     for name in names:
         t0 = time.time()
