@@ -298,21 +298,30 @@ def probe_sortpay(n: int = 1 << 20) -> dict:
         rng.integers(0, 2**31, size=(16, n), dtype=np.int64), jnp.int32
     )
     out = {"floor_ms": dispatch_floor_ms()}
-    for w in (1, 4, 16):
-        def many(ks, pv, w=w):
+    # use_all=False fetches ONE payload output (XLA dead-code-eliminates
+    # the rest — TPU variadic sort materializes payloads per-operand);
+    # use_all=True consumes every output: the cost a consumer of all W
+    # sorted columns actually pays. The w-slope of use_all is the
+    # per-column materialization rate.
+    for w, use_all in ((1, False), (4, False), (16, False), (4, True),
+                      (16, True)):
+        def many(ks, pv, w=w, use_all=use_all):
             cols = tuple(pv[i] for i in range(w))
 
             def one(k):
                 res = jax.lax.sort(
                     (k,) + cols, is_stable=False, num_keys=1
                 )
+                if use_all:
+                    return sum(jnp.sum(r) for r in res[1:])
                 return jnp.sum(res[-1])
 
             return jax.lax.map(one, ks, batch_size=4)
 
         ms = _timeit(many, keys, pay)
-        out[f"pay{w}_ms"] = ms
-        out[f"pay{w}_per_subtask_ms"] = _amort(ms)
+        tag = f"pay{w}{'_all' if use_all else ''}"
+        out[f"{tag}_ms"] = ms
+        out[f"{tag}_per_subtask_ms"] = _amort(ms)
     return out
 
 
