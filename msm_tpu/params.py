@@ -124,8 +124,24 @@ SECP256K1 = CurveSpec(
     gy=32670510020758816978083085130507043184471273380659243275938904335757337482424,
 )
 
+#: Grumpkin — BN254's 2-cycle partner (base/scalar fields swapped; a = 0,
+#: b = -17), the inner curve of Aztec/Noir-style recursive provers. A
+#: recursion stack that MSMs over BN254 G1 also MSMs over Grumpkin, so the
+#: pair belongs together in a serving menu. Same 254-bit/20-limb geometry
+#: class as BN254; generator (1, sqrt(-16)) per the Aztec spec.
+GRUMPKIN = CurveSpec(
+    name="grumpkin",
+    modulus=BN254.order,
+    order=BN254.modulus,
+    a=0,
+    b=BN254.order - 17,
+    gx=1,
+    gy=17631683881184975370165255887551781615748388533673675138860,
+)
+
 CURVES = {
-    c.name: c for c in (BN254, BLS12_377, PALLAS, BLS12_381, SECP256K1)
+    c.name: c
+    for c in (BN254, BLS12_377, PALLAS, BLS12_381, SECP256K1, GRUMPKIN)
 }
 
 

@@ -15,6 +15,7 @@ from msm_tpu.params import (
     BLS12_377,
     BLS12_381,
     BN254,
+    GRUMPKIN,
     PALLAS,
     SECP256K1,
     MsmConfig,
@@ -38,7 +39,8 @@ def test_batched_msm_matches_oracle():
 
 
 @pytest.mark.parametrize(
-    "curve", [BLS12_377, PALLAS, BLS12_381, SECP256K1], ids=lambda c: c.name
+    "curve", [BLS12_377, PALLAS, BLS12_381, SECP256K1, GRUMPKIN],
+    ids=lambda c: c.name,
 )
 def test_cuzk_msm_other_curves(curve):
     cv = Curve(curve)

@@ -19,6 +19,7 @@ from msm_tpu.params import (
     BLS12_377,
     BLS12_381,
     BN254,
+    GRUMPKIN,
     PALLAS,
     SECP256K1,
     MsmConfig,
@@ -26,7 +27,7 @@ from msm_tpu.params import (
 
 
 @pytest.mark.parametrize(
-    "curve", [BN254, BLS12_377, PALLAS, BLS12_381, SECP256K1]
+    "curve", [BN254, BLS12_377, PALLAS, BLS12_381, SECP256K1, GRUMPKIN]
 )
 def test_glv_derivation(curve):
     g = glv_params(curve)

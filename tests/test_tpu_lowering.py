@@ -47,8 +47,15 @@ def _inputs(n, cfg, seed=1):
     return common.pad_inputs(pts, ks, cfg)
 
 
-@pytest.mark.slow
-@pytest.mark.parametrize("glv,compress", [(False, False), (True, True)])
+# the base-config lowering gate runs in the DEFAULT tier: on a platform
+# with a composition-miscompile history (models/common.py:29-37) the
+# Pallas->Mosaic lowering of the production pipeline is the highest-value
+# hardware-free check the suite has. The frozen glv+compress variant stays
+# behind --runslow.
+@pytest.mark.parametrize(
+    "glv,compress",
+    [(False, False), pytest.param(True, True, marks=pytest.mark.slow)],
+)
 def test_production_pipeline_lowers_for_tpu(pallas_on, glv, compress):
     from dataclasses import replace
 
