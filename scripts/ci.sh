@@ -1,13 +1,21 @@
 #!/bin/sh
 # Full CI gate (the "everything" tier — VERDICT r3 item 4).
 #
-# The default `python -m pytest tests/ -q` is the fast tier (<10 min on the
-# 1-core bench box; includes the TPU-lowering AOT gate and the
-# shard_map x Pallas interpret co-test). This script runs the FULL suite —
-# --runslow adds the 2-process multihost test, the glv+compress lowering and
-# sharded co-tests, and the per-size hardware e2e gates (which skip off-TPU)
-# — plus a bounded e2e config fuzz, mirroring how the reference compiles
-# every shader in every GPU test (src/cuzk/gpu.rs:281-293).
+# Tiers:
+#   fast (default):  python -m pytest tests/ -q
+#       ~15 min cold on the 1-core bench box, ~12 min with the committed
+#       persistent-compile-cache warm (tests/.jax_cache). Includes the AOT
+#       TPU-lowering gate for the production pipeline, the
+#       shard_map x Pallas interpret co-test, kernel-family parity tests
+#       (scan, curve, hist, offsets, Horner), chunk-8 e2e across all six
+#       curves, and the sliced/chunked branch tests.
+#   full (this script): --runslow adds the frozen-feature sweeps
+#       (glv/compress e2e + device-split), the chunk-16 interpret e2e,
+#       the 2-process multihost test, the glv+compress lowering and
+#       sharded co-tests, and the per-size hardware e2e gates (which
+#       skip off-TPU) — plus a bounded e2e config fuzz, mirroring how the
+#       reference compiles every shader in every GPU test
+#       (src/cuzk/gpu.rs:281-293).
 #
 # Usage: scripts/ci.sh            (CPU backend, 8 virtual devices)
 #        MSM_TPU_TEST_PLATFORM=axon scripts/ci.sh   (on the bench rig:

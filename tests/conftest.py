@@ -21,6 +21,22 @@ jax.config.update("jax_platforms", _platform)
 if _platform == "cpu":
     jax.config.update("jax_num_cpu_devices", 8)
 
+# Persistent compilation cache: the suite is XLA-CPU-compile-dominated
+# (every e2e test compiles a multi-kernel pipeline), so repeat runs load
+# executables from disk instead of recompiling — a cold default-tier run
+# pays the compiles once; warm runs are minutes. Opt out (e.g. to measure
+# true compile time) with MSM_TPU_TEST_NO_CACHE=1.
+if not os.environ.get("MSM_TPU_TEST_NO_CACHE"):
+    _cache = os.environ.get(
+        "MSM_TPU_TEST_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"),
+    )
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import pytest  # noqa: E402
 
 

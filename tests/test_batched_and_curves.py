@@ -30,7 +30,7 @@ def _sample(cv, n, seed):
 
 def test_batched_msm_matches_oracle():
     cv = Curve(BN254)
-    cfg = MsmConfig(curve=BN254)
+    cfg = MsmConfig(curve=BN254, chunk_size=8)
     instances = [_sample(cv, 40 + 8 * i, seed=10 + i) for i in range(3)]
     got = compute_msm_batched(instances, cfg)
     for (pts, ks), g in zip(instances, got):
@@ -44,13 +44,14 @@ def test_batched_msm_matches_oracle():
 )
 def test_cuzk_msm_other_curves(curve):
     cv = Curve(curve)
-    cfg = MsmConfig(curve=curve)
+    cfg = MsmConfig(curve=curve, chunk_size=8)
     pts, ks = _sample(cv, 50, seed=3)
     got = compute_msm_jpoint(pts, ks, cfg)
     want = cv.msm([cv.from_affine(*p) for p in pts], ks)
     assert cv.eq(got, want)
 
 
+@pytest.mark.slow  # compile-heavy order-width property: full tier
 def test_full_width_order_digits_and_e2e():
     """secp256k1's 256-bit order genuinely overflows sixteen signed chunk-16
     windows (the top digit of a near-order scalar exceeds the 2^15+1 bucket
@@ -81,7 +82,11 @@ def test_full_width_order_digits_and_e2e():
     assert cv.eq(got, want)
 
 
-@pytest.mark.parametrize("word_size", [12, 13])
+# w=13 is the production word size and stays default; the off-default
+# sweep value is full-tier (fuzz_e2e sweeps 12..16 continuously)
+@pytest.mark.parametrize(
+    "word_size", [pytest.param(12, marks=pytest.mark.slow), 13]
+)
 def test_cuzk_msm_word_size_generic(word_size):
     """Limb-geometry genericity: the whole pipeline parameterizes over
     word_size like the reference's ShaderManager (13-16 swept in its

@@ -99,6 +99,7 @@ def _rand_msm(n, seed):
     return pts, ks
 
 
+@pytest.mark.slow  # frozen feature: full tier
 def test_compressed_pipeline_e2e(interpret_mode):
     """Full production pipeline with cfg.compress: fused convert -> gather
     -> pair compression (fwd/inv/bwd) -> limbs_skip scan -> odd-boundary

@@ -80,6 +80,7 @@ def test_glv_host_split(curve):
     assert g.max_component < 1 << (cfg.chunk_size * cfg.num_subtasks - 1)
 
 
+@pytest.mark.slow  # frozen-feature device compile sweep: full tier (scripts/ci.sh)
 @pytest.mark.parametrize(
     "curve", [BN254, BLS12_377, PALLAS, BLS12_381, SECP256K1]
 )
@@ -108,6 +109,7 @@ def test_glv_device_split_matches_host_exactly(curve):
         assert (k1, k2) == split_scalar(k, g, r), (i, k)
 
 
+@pytest.mark.slow  # frozen-feature device compile sweep: full tier (scripts/ci.sh)
 @pytest.mark.parametrize(
     "curve", [BN254, BLS12_377, PALLAS, BLS12_381, SECP256K1]
 )
@@ -162,6 +164,7 @@ def test_glv_rounding_correction_fires(curve):
         assert (k1, k2) == split_scalar(k, g, r), (i, k, fires)
 
 
+@pytest.mark.slow  # frozen feature: full tier
 def test_glv_decompose_digits_in_bucket_range():
     """Every signed window digit of the device GLV decomposition stays in
     the bucket range [0, 2^15] — including for knife-edge scalars whose
@@ -197,6 +200,10 @@ def _msm_fixture(n, seed):
     return pts, ks
 
 
+# one GLV e2e stays in the default tier (chunk 8, cheapest compile);
+# the production chunk-16 program and the other curves are full-tier
+@pytest.mark.slow  # frozen feature: full tier (derivation + host-split
+# + payload-decode stay default — the GLV correctness core is host math)
 @pytest.mark.parametrize("chunk", [8, 16])
 def test_glv_msm_e2e(chunk):
     from msm_tpu.models.cuzk import compute_msm_jpoint
@@ -209,6 +216,7 @@ def test_glv_msm_e2e(chunk):
     assert cv.eq(got, best_msm(pts, ks))
 
 
+@pytest.mark.slow  # frozen feature: full tier
 def test_glv_msm_e2e_secp256k1():
     """secp256k1 — the GLV paper's own curve: a = 0, even-bit zero-slack
     modulus (21 limbs), endomorphism derived numerically like the rest."""
@@ -227,6 +235,7 @@ def test_glv_msm_e2e_secp256k1():
     assert cv.eq(got, want)
 
 
+@pytest.mark.slow  # frozen feature: full tier
 @pytest.mark.parametrize("curve", [PALLAS, BLS12_381], ids=lambda c: c.name)
 def test_glv_msm_e2e_more_curves(curve):
     """Pallas (negative reduced-basis signs pre-normalization) and
@@ -247,6 +256,7 @@ def test_glv_msm_e2e_more_curves(curve):
     assert cv.eq(got, want)
 
 
+@pytest.mark.slow  # frozen feature: full tier
 def test_glv_msm_e2e_bls12_377():
     from msm_tpu.models.cuzk import compute_msm_jpoint
     from msm_tpu.oracle import best_msm
@@ -264,6 +274,7 @@ def test_glv_msm_e2e_bls12_377():
     assert cv.eq(got, best_msm(pts, ks, curve=BLS12_377))
 
 
+@pytest.mark.slow  # frozen feature: full tier
 def test_glv_fused_pipeline_interpret():
     """GLV x every fused kernel (convert+phi-convert, scan, offsets,
     histogram, point-total) in interpret mode — the production TPU program
@@ -285,6 +296,7 @@ def test_glv_fused_pipeline_interpret():
     assert cv.eq(got, best_msm(pts, ks))
 
 
+@pytest.mark.slow  # frozen feature: full tier
 def test_glv_decompose_digits_reconstruct():
     cfg = MsmConfig(curve=BN254, glv=True)
     g = glv_params(BN254)

@@ -33,6 +33,9 @@ def interpret_mode():
     set_pallas_mode("auto")
 
 
+@pytest.mark.slow  # full tier: every kernel here is covered by default-tier
+# parity tests (incl. the dedicated MXU-hist test) + the AOT lowering gate
+# + the shard_map interpret co-test running the same fused kernel body
 def test_cuzk_fused_pipeline_interpret_e2e(interpret_mode):
     """n=8192 with num_rows=256 engages EVERY fused kernel: convert/pack
     (fused_scan_available: n % R == 0, R % 256 == 0), the scan + row-offsets

@@ -200,6 +200,7 @@ def test_fused_convert_pack_matches_xla():
             assert va == vb and va < p, i
 
 
+@pytest.mark.slow  # non-production kernel (telescoped reduction replaced BPR): full tier
 def test_fused_bpr_matches_xla_reduce():
     """Fused BPR phase-1 kernel (interpret) + the shared tail must equal
     bucket_reduce_blocked's XLA scan path."""
@@ -308,3 +309,33 @@ def test_horner_ladder_kernel_matches_host():
     ws_std = common.export_points_std(ec, PointBatch(wx, wy, wz))
     want = common.window_sums_to_result(np.asarray(ws_std), CFG)
     assert cv.eq(got, want)
+
+
+def test_mxu_bucket_hist_matches_numpy():
+    """Dedicated parity for the MXU one-hot histogram kernel
+    (ops/pallas_hist.make_bucket_hist) + the _counts_leq cumsum wrapper —
+    the one fused kernel whose only other coverage is the full interpret
+    e2e (n % 8192 == 0 engages it there; this test pins it directly so the
+    e2e can live in the full tier)."""
+    from msm_tpu.ops import scan as scan_mod
+    from msm_tpu.ops.curve import set_pallas_mode
+    from msm_tpu.ops.pallas_hist import CHUNK, make_bucket_hist
+
+    n, nb = 2 * CHUNK, 1 << 8
+    rng = np.random.default_rng(17)
+    keys = rng.integers(0, nb, size=n).astype(np.int32)
+    # skew: hammer a few buckets + leave some empty (cumsum edge cases)
+    keys[: n // 4] = 3
+    keys[n // 4 : n // 3] = nb - 1
+    kj = jnp.asarray(keys)
+    counts = np.asarray(
+        make_bucket_hist(n, nb, interpret=True)(kj)[:nb]
+    )
+    want = np.bincount(keys, minlength=nb)
+    assert (counts == want).all()
+    set_pallas_mode("interpret")
+    try:
+        ends = np.asarray(scan_mod._counts_leq(kj, nb))
+    finally:
+        set_pallas_mode("auto")
+    assert (ends == np.cumsum(want)).all()
