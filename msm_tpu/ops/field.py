@@ -78,6 +78,15 @@ class FieldCtx:
         self.one_limbs = const(1)
         self.zero_limbs = const(0)
         self.n0 = np.int32(cfg.n0)
+        # top-limb renormalization fold (see pallas_curve._make_field_ops):
+        # the sweep keeps the top limb's overflow in place, so a mul output
+        # can carry a +/-k*2^(w(L-1)+s) representation offset — value-exact
+        # mod p but magnitude ~R, a fixed point of mont_mul that add chains
+        # then amplify to int32 overflow. Folding k back as k*(2^.. mod p)
+        # restores |value| <= ~32p at every mul exit.
+        self.fold_s = max(0, p.bit_length() + 3 - self.w * (self.L - 1))
+        assert self.fold_s < self.w, (self.fold_s, self.w, self.L)
+        self.fold_c = const((1 << (self.w * (self.L - 1) + self.fold_s)) % p)
         # Barrett: mu = floor(4^k / p), k = bit length of p (params.gen_mu)
         self.k = cfg.curve.modulus_bits
         mu_words = -(-(self.k + 2) // self.w) + 1
@@ -139,7 +148,15 @@ class FieldCtx:
         acc, _ = jax.lax.scan(step, acc0, xs)
         # fold the residual top column into limb L-1 (value-preserving)
         out = acc[..., :L].at[..., L - 1].add(acc[..., L] << w)
-        return bigint.sweep(bigint.sweep(out, w), w)
+        out = bigint.sweep(out, w)
+        # top-limb renormalization: fold the swept top limb's excess k
+        # back in as k * (2^(w(L-1)+s) mod p) — exact congruence; bounds
+        # |value| <= ~32p so representation offsets cannot accumulate
+        t = out[..., L - 1]
+        k = t >> self.fold_s
+        out = out.at[..., L - 1].add(-(k << self.fold_s))
+        out = out + k[..., None] * self.fold_c
+        return bigint.sweep(out, w)
 
     def mont_sqr(self, a: jax.Array) -> jax.Array:
         return self.mont_mul(a, a)

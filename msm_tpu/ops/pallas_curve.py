@@ -88,6 +88,40 @@ def _make_field_ops(
     def sweep(x):
         return _sweep_cols(x, w, mask)
 
+    # --- top-limb renormalization -------------------------------------
+    # The sweep keeps the top limb's overflow in place ("exact"), so a
+    # REDC output can carry a +/-k*2^(w(L-1)+s) representation offset —
+    # value-correct mod p, but magnitude ~R. Magnitude-R values are a
+    # FIXED POINT of mont_mul (R*R/R = R) and the RCB16 add chains then
+    # amplify them ~8x per point-op until int32 limbs overflow (~7 ops).
+    # Observed in the wild: a secp256k1 window-sum doubling ladder fed a
+    # y-coordinate represented as Y - R (fuzz_e2e seed 0 trial 1, r4).
+    # Fix: fold the top limb's excess k = t >> s back in as k * C where
+    # C = 2^(w(L-1)+s) mod p — exact congruence, and every mul output
+    # returns to magnitude <= ~32p, restoring the kernel-wide invariant
+    # for every curve and every add/sub dataflow.
+    pbits = cfg.curve.modulus.bit_length()
+    s = max(0, pbits + 3 - w * (L - 1))
+    assert s < w, (s, w, L, pbits)  # R = 2^(wL) >= 64p guarantees this
+    _c_fold = [
+        int(v)
+        for v in int_to_limbs(
+            (1 << (w * (L - 1) + s)) % cfg.curve.modulus, w, L
+        )
+    ]
+
+    def renorm(x, final_sweep: bool):
+        """Input must be swept (limbs ~2^w) so k stays small. At steady
+        state |k| <= ~4, so the un-swept fold (dirty exit) leaves limbs
+        within the dirty tolerance the downstream f_add/f_sub absorb."""
+        t = x[L - 1 :]
+        k = t >> s  # arithmetic shift: sign-correct fold count
+        c_col = jnp.concatenate(
+            [jnp.full((1, 1), v, jnp.int32) for v in _c_fold], axis=0
+        )
+        out = jnp.concatenate([x[: L - 1], t - (k << s)], axis=0) + k * c_col
+        return sweep(out) if final_sweep else out
+
     def add(a, b):
         return sweep(a + b)
 
@@ -208,8 +242,8 @@ def _make_field_ops(
             axis=0,
         )
         if dirty:
-            return sweep(out)
-        return sweep(sweep(out))
+            return renorm(sweep(out), final_sweep=False)
+        return renorm(sweep(out), final_sweep=True)
 
     def mont_mul(a, b):
         """Fixed-position CIOS, S1 a-limbs per accumulation pass;

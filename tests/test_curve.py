@@ -200,3 +200,56 @@ def test_bls12_377_curve_ops():
         zi = pow(z, -1, p)
         want = cv.to_affine(cv.add(pts[i], qts[i]))
         assert (x * zi % p, y * zi % p) == want
+
+
+def test_double_chain_bounded_with_R_offset_representation():
+    """Regression (r4, fuzz_e2e seed 0 trial 1): a field element whose limb
+    representation carries a -R offset (top limb -2^w from the sweep's
+    exact-top-overflow rule) is value-correct mod p but magnitude ~R, and
+    magnitude-R values are a FIXED POINT of mont_mul (R*R/R = R) that the
+    RCB16 add chains amplify ~8x per point op until int32 limbs overflow
+    (observed at iteration 7 of a secp256k1 window-sum doubling ladder).
+    The top-limb renormalization fold in FieldCtx.mont_mul and the Pallas
+    _make_field_ops must keep a 12-double chain exact AND limb-bounded."""
+    from msm_tpu.ops.curve import get_curve_ctx, set_pallas_mode
+    from msm_tpu.params import SECP256K1
+
+    cfg = MsmConfig(curve=SECP256K1, chunk_size=13)
+    cv = Curve(SECP256K1)
+    p = SECP256K1.modulus
+    ec = get_curve_ctx(cfg)
+    g = cv.sample_points(1, seed=5)[0]
+    gx, gy = cv.to_affine(g)
+    mont = lambda v: (v * cfg.r) % p
+    lx = L.int_to_limbs(mont(gx), cfg.word_size, cfg.num_words).astype(np.int64)
+    ly = L.int_to_limbs(mont(gy), cfg.word_size, cfg.num_words).astype(np.int64)
+    lz = L.int_to_limbs(mont(1), cfg.word_size, cfg.num_words).astype(np.int64)
+    # inject a magnitude-R representation of the SAME residue into y:
+    # value -= R (top limb -2^w, the sweep's exact-top-overflow form as
+    # produced in the wild), then value += (R mod p) — residue unchanged,
+    # |value| ~ R. The pre-fix code amplified this to int32 overflow by
+    # iteration 7 of the doubling chain.
+    ly[-1] -= 1 << cfg.word_size
+    ly += L.int_to_limbs(
+        (1 << cfg.word_size * cfg.num_words) % p,
+        cfg.word_size, cfg.num_words,
+    ).astype(np.int64)
+    d = PointBatch(*[jnp.asarray(a, jnp.int32) for a in (lx, ly, lz)])
+    gd = cv.from_affine(gx, gy)
+    rinv = cfg.rinv
+    for mode in ("auto", "interpret"):
+        dd, gg = d, gd
+        set_pallas_mode(mode)
+        try:
+            for _ in range(12):
+                dd = ec.double(dd)
+                gg = cv.double(gg)
+        finally:
+            set_pallas_mode("auto")
+        X = L.limbs_to_int(np.asarray(dd.x, np.int64), cfg.word_size) * rinv % p
+        Y = L.limbs_to_int(np.asarray(dd.y, np.int64), cfg.word_size) * rinv % p
+        Z = L.limbs_to_int(np.asarray(dd.z, np.int64), cfg.word_size) * rinv % p
+        zi = pow(Z, -1, p)
+        assert (X * zi % p, Y * zi % p) == cv.to_affine(gg), mode
+        for a in (dd.x, dd.y, dd.z):
+            assert int(np.abs(np.asarray(a)).max()) < 1 << 15, mode
