@@ -272,7 +272,21 @@ def bench_batched(args) -> None:
     del rng
     geom = pick_geometry(x.shape[0], cfg.chunk_size)
     ws = batched_window_sums(xb, yb, sb, cfg, geom)
-    np.asarray(ws)  # compile + warm
+    ws_np = np.asarray(ws)  # compile + warm
+    if args.verify:
+        from msm_tpu.oracle import best_msm
+        from msm_tpu.oracle.pyecc import Curve
+
+        cv = Curve(cfg.curve)
+        for b in range(B):
+            # instance b pairs point j with scalar (j - b) mod n (np.roll)
+            ks_b = [ks[(j - b) % n] for j in range(n)]
+            res = common.window_sums_to_result(ws_np[b], cfg)
+            assert cv.eq(res, best_msm(pts, ks_b, curve=cfg.curve)), (
+                f"batched instance {b} does not match CPU oracle"
+            )
+        print(f"[bench] all {B} instances verified vs CPU oracle",
+              file=sys.stderr)
     times = []
     for _ in range(args.reps):
         t0 = time.time()
