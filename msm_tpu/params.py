@@ -139,9 +139,25 @@ GRUMPKIN = CurveSpec(
     gy=17631683881184975370165255887551781615748388533673675138860,
 )
 
+#: Vesta — Pallas' 2-cycle partner (fields swapped, same a = 0, b = 5,
+#: generator (-1, 2) satisfies both curves). With GRUMPKIN this
+#: completes both production recursion 2-cycles (BN254/Grumpkin and
+#: Pallas/Vesta) in the serving menu.
+VESTA = CurveSpec(
+    name="vesta",
+    modulus=PALLAS.order,
+    order=PALLAS.modulus,
+    a=0,
+    b=5,
+    gx=PALLAS.order - 1,
+    gy=2,
+)
+
 CURVES = {
     c.name: c
-    for c in (BN254, BLS12_377, PALLAS, BLS12_381, SECP256K1, GRUMPKIN)
+    for c in (
+        BN254, BLS12_377, PALLAS, BLS12_381, SECP256K1, GRUMPKIN, VESTA,
+    )
 }
 
 

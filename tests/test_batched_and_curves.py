@@ -17,6 +17,7 @@ from msm_tpu.params import (
     BN254,
     GRUMPKIN,
     PALLAS,
+    VESTA,
     SECP256K1,
     MsmConfig,
 )
@@ -39,7 +40,7 @@ def test_batched_msm_matches_oracle():
 
 
 @pytest.mark.parametrize(
-    "curve", [BLS12_377, PALLAS, BLS12_381, SECP256K1, GRUMPKIN],
+    "curve", [BLS12_377, PALLAS, BLS12_381, SECP256K1, GRUMPKIN, VESTA],
     ids=lambda c: c.name,
 )
 def test_cuzk_msm_other_curves(curve):

@@ -21,13 +21,15 @@ from msm_tpu.params import (
     BN254,
     GRUMPKIN,
     PALLAS,
+    VESTA,
     SECP256K1,
     MsmConfig,
 )
 
 
 @pytest.mark.parametrize(
-    "curve", [BN254, BLS12_377, PALLAS, BLS12_381, SECP256K1, GRUMPKIN]
+    "curve", [BN254, BLS12_377, PALLAS, BLS12_381, SECP256K1, GRUMPKIN,
+              VESTA]
 )
 def test_glv_derivation(curve):
     g = glv_params(curve)
