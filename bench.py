@@ -222,24 +222,36 @@ def bench_sharded(args) -> None:
         # computed offline against the single-host row of this command
         if jax.process_index() == 0:
             r = rows[-1]
+            plumbing_only = platform.startswith("cpu")
             print(json.dumps({
                 "metric": (f"{cfg.curve.name}_msm_2^{args.size}_multihost"
                            f"_{jax.process_count()}hosts_{D}chips"),
-                "value": r["field_muls_per_sec_per_chip"],
+                "value": (None if plumbing_only
+                          else r["field_muls_per_sec_per_chip"]),
                 "unit": "field_muls_per_sec_per_chip",
                 "vs_baseline": 0.0,  # combine with the 1-chip row offline
                 "platform": platform,
+                "plumbing_only": plumbing_only,
                 "detail": rows,
             }))
         return
     base = rows[0]["field_muls_per_sec_per_chip"]
     eff = rows[-1]["field_muls_per_sec_per_chip"] / base if base else 0.0
+    plumbing_only = platform.startswith("cpu")
     print(json.dumps({
         "metric": f"{cfg.curve.name}_msm_2^{args.size}_scaling_efficiency_{D}x",
-        "value": round(eff, 4),
+        # a virtual CPU mesh validates the sharded program + measurement
+        # plumbing ONLY — its efficiency number is meaningless (1-core box
+        # timeslicing D shards) and must never be ingested as a scaling
+        # result, so the headline value is nulled and the raw ratio moved
+        # to cpu_mesh_ratio_meaningless
+        "value": None if plumbing_only else round(eff, 4),
         "unit": "ops_per_sec_ratio",
-        "vs_baseline": round(eff / 0.8, 3),  # target: >80% efficiency
+        "vs_baseline": None if plumbing_only else round(eff / 0.8, 3),
         "platform": platform,
+        "plumbing_only": plumbing_only,
+        **({"cpu_mesh_ratio_meaningless": round(eff, 4)}
+           if plumbing_only else {}),
         "detail": rows,
     }))
 
@@ -278,6 +290,14 @@ def bench_batched(args) -> None:
         from msm_tpu.oracle.pyecc import Curve
 
         cv = Curve(cfg.curve)
+        # the oracle pairing below assumes np.roll rotated over exactly the
+        # n sampled scalars — padding would rotate scalars across padded
+        # slots and silently mispair (pad_size floors at 16, so --size <= 3
+        # would otherwise hit this)
+        assert x.shape[0] == n, (
+            f"batched --verify requires pow2 size >= 4 (padded {n} -> "
+            f"{x.shape[0]})"
+        )
         for b in range(B):
             # instance b pairs point j with scalar (j - b) mod n (np.roll)
             ks_b = [ks[(j - b) % n] for j in range(n)]
@@ -474,11 +494,26 @@ def main() -> None:
     # nominal work = the canonical (non-GLV) pipeline's madd muls (S windows
     # x n x 13 muls — optimizations like GLV/compression reduce the REAL op
     # count, so this is an *effective* throughput, FLOPs-convention style).
-    # Roofline: one 20-limb mont mul ~= 2000 int32 lane-ops; the fused madd
-    # kernel measures ~1.3 T effective VPU ops/s on v5e (PERF_NOTES.md).
     s_nominal = MsmConfig(curve=curve, chunk_size=cfg.chunk_size).num_subtasks
     nominal_muls = s_nominal * n * 13
     muls_per_sec = nominal_muls / (ms / 1e3)
+    # measured_floor_frac (VERDICT r4 weak #1 recalibration): fraction of
+    # the wall-clock that is the SUM OF MEASURED PER-BLOCK FLOORS, each
+    # calibrated on hardware (PERF_NOTES r3 trace + r4 binning probe):
+    #   scan madds — 11 muls/row x 1250*(L/20)^2 row-ops/mul at the
+    #     trace-calibrated 1.54e12 row-ops/s (150 ms madd portion of the
+    #     2^20 BN254 trace backs out the rate);
+    #   gather     — 6.2 ns/row (descriptor-bound, locality-insensitive);
+    #   sort core  — 2.2 ms per subtask per 2^20 rows (key-compare-bound).
+    # This is an *achievable-floor* fraction, not a VPU roofline fraction
+    # (the old vpu_roofline_frac used a nominal 13-mul/2000-row-op budget
+    # that flattered by ~1.9x; it is retired). Calibration is for the base
+    # config; glv/compress change the row/subtask counts and are frozen.
+    rows = cfg.num_subtasks * n
+    scan_floor_s = rows * 11 * 1250 * (cfg.num_words / 20) ** 2 / 1.54e12
+    gather_floor_s = rows * 6.2e-9
+    sort_floor_s = cfg.num_subtasks * 2.2e-3 * (n / (1 << 20))
+    floor_ms = (scan_floor_s + gather_floor_s + sort_floor_s) * 1e3
     print(json.dumps({
         "metric": f"{curve.name}_msm_2^{args.size}_wall_clock",
         "value": round(ms, 2),
@@ -487,11 +522,8 @@ def main() -> None:
         "config": name,
         "verified": bool(verified),
         "field_muls_per_sec_nominal": round(muls_per_sec),
-        # one L-limb mont mul ~= 2000*(L/20)^2 int32 lane-ops (O(L^2) CIOS;
-        # 2000 is the measured BN254/L=20 point)
-        "vpu_roofline_frac": round(
-            muls_per_sec * 2000 * (cfg.num_words / 20) ** 2 / 1.3e12, 3
-        ),
+        "measured_floor_ms": round(floor_ms, 1),
+        "measured_floor_frac": round(floor_ms / ms, 3),
     }))
 
 

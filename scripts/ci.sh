@@ -3,8 +3,10 @@
 #
 # Tiers:
 #   fast (default):  python -m pytest tests/ -q
-#       ~15 min cold on the 1-core bench box, ~12 min with the committed
-#       persistent-compile-cache warm (tests/.jax_cache). Includes the AOT
+#       ~15 min cold on the 1-core bench box (a fresh clone pays the full
+#       XLA compile; tests/.jax_cache is populated on the first run and
+#       NOT committed — .gitignore excludes it — so repeat runs drop to
+#       ~11-12 min warm). Includes the AOT
 #       TPU-lowering gate for the production pipeline, the
 #       shard_map x Pallas interpret co-test, kernel-family parity tests
 #       (scan, curve, hist, offsets, Horner), chunk-8 e2e across all six

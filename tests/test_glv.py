@@ -204,9 +204,9 @@ def _msm_fixture(n, seed):
 
 # one GLV e2e stays in the default tier (chunk 8, cheapest compile);
 # the production chunk-16 program and the other curves are full-tier
-@pytest.mark.slow  # frozen feature: full tier (derivation + host-split
-# + payload-decode stay default — the GLV correctness core is host math)
-@pytest.mark.parametrize("chunk", [8, 16])
+@pytest.mark.parametrize(
+    "chunk", [8, pytest.param(16, marks=pytest.mark.slow)]
+)
 def test_glv_msm_e2e(chunk):
     from msm_tpu.models.cuzk import compute_msm_jpoint
     from msm_tpu.oracle import best_msm
