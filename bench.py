@@ -323,6 +323,85 @@ def bench_batched(args) -> None:
     }))
 
 
+def bench_plan(args) -> None:
+    """Serving-plan throughput (VERDICT r5 item 3): build the plan ONCE
+    (host serialize + device convert/pack of the point table), then run B
+    scalar sets against the cached table — reports per-call latency with
+    table reuse and run_batch ms/instance."""
+    import msm_tpu
+    from msm_tpu.models import common
+    from msm_tpu.params import CURVES, pick_config
+
+    B = args.plan
+    n = 1 << args.size
+    cfg = pick_config(n, curve=CURVES[args.curve])
+    pts, ks = sample_inputs(n, cfg)
+    t0 = time.time()
+    plan = msm_tpu.plan(pts, config=cfg)
+    print(f"[bench] plan build (serialize + table prep) {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    # pre-pack scalar words: the serving fast path (server receives bytes,
+    # not python ints) — list-of-ints serialization would hide the device
+    # win behind ~1 s of host to_bytes at 2^20
+    s_words = [
+        common.pad_scalars_words(
+            [ks[(j - b) % n] for j in range(n)], cfg, plan.N
+        )
+        for b in range(B)
+    ]
+    if args.verify:
+        from msm_tpu.oracle import best_msm
+        from msm_tpu.oracle.pyecc import Curve
+
+        cv = Curve(cfg.curve)
+        got = plan.jpoint(s_words[0])
+        assert cv.eq(got, best_msm(pts, ks, curve=cfg.curve)), \
+            "plan result does not match CPU oracle"
+        print("[bench] plan verified vs CPU oracle", file=sys.stderr)
+    # warm the per-call program, then time single calls with table reuse
+    plan.jpoint(s_words[0])
+    times = []
+    for r in range(args.reps):
+        t0 = time.time()
+        plan.jpoint(s_words[r % B])
+        times.append(time.time() - t0)
+    call_ms = min(times) * 1e3
+    print(f"[bench] plan call (table reuse): {call_ms:.1f} ms",
+          file=sys.stderr)
+    batch_ms = None
+    if B > 1:
+        plan.run_batch(s_words)  # compile + warm
+        times = []
+        for _ in range(args.reps):
+            t0 = time.time()
+            res = plan.run_batch(s_words)
+            times.append(time.time() - t0)
+        batch_ms = min(times) / B * 1e3
+        if args.verify:
+            from msm_tpu.oracle import best_msm
+            from msm_tpu.oracle.pyecc import Curve
+
+            cv = Curve(cfg.curve)
+            for b in range(B):
+                ks_b = [ks[(j - b) % n] for j in range(n)]
+                assert cv.eq(res[b], best_msm(pts, ks_b, curve=cfg.curve)), \
+                    f"plan batch instance {b} does not match CPU oracle"
+            print(f"[bench] all {B} batch instances verified vs CPU oracle",
+                  file=sys.stderr)
+        print(f"[bench] plan batch B={B}: {batch_ms:.2f} ms/instance",
+              file=sys.stderr)
+    best = min(call_ms, batch_ms) if batch_ms else call_ms
+    print(json.dumps({
+        "metric": f"{cfg.curve.name}_plan_msm_2^{args.size}_per_instance",
+        "value": round(best, 2),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / best, 3),
+        "call_ms": round(call_ms, 2),
+        **({"batch_ms_per_instance": round(batch_ms, 2)} if batch_ms
+           else {}),
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=20)
@@ -344,6 +423,10 @@ def main() -> None:
                     "every host of the pod; the BASELINE 'N hosts' row)")
     ap.add_argument("--batched", type=int, default=0, metavar="B",
                     help="batched-MSM mode: B independent instances")
+    ap.add_argument("--plan", type=int, default=0, metavar="B",
+                    help="serving-plan mode: build the point table once, "
+                    "run B scalar sets against it (per-call latency with "
+                    "table reuse + run_batch ms/instance)")
     ap.add_argument("--auto", action="store_true",
                     help="also bench the frozen glv+compress candidate "
                     "(it lost 540 vs 401 ms at 2^20 in r3 and costs ~143 s "
@@ -359,6 +442,10 @@ def main() -> None:
     if args.batched:
         _guard_backend(allow_cpu_fallback=False)
         bench_batched(args)
+        return
+    if args.plan:
+        _guard_backend(allow_cpu_fallback=False)
+        bench_plan(args)
         return
     _guard_backend(allow_cpu_fallback=False)
 

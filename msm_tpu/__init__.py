@@ -37,6 +37,7 @@ __all__ = [
     "CurveSpec",
     "MsmConfig",
     "cpu_msm",
+    "plan",
     "run_tpu_msm",
     "run_tpu_msm_batched",
     "run_tpu_msm_sharded",
@@ -55,6 +56,18 @@ from msm_tpu.utils.limbs import (  # noqa: E402  (reference lib.rs:50-65)
     points_to_bytes,
     scalars_to_bytes,
 )
+
+
+def plan(points, config=None, validate=False):
+    """Prepare an MSM plan over a fixed point set (SRS serving workload):
+    the point table is serialized + device-converted ONCE; each
+    ``plan(scalars)`` call runs only the scalar-side pipeline, and
+    ``plan.run_batch([ks, ...])`` runs many scalar sets as one device
+    program sharing the single cached table. The reference re-uploads and
+    re-converts points on every call (``src/cuzk/msm.rs:75-417``)."""
+    from msm_tpu.models.plan import MsmPlan
+
+    return MsmPlan(points, config=config, validate=validate)
 
 
 def run_tpu_msm_batched(instances, config=DEFAULT_CONFIG):

@@ -125,31 +125,50 @@ def pad_inputs(
     if validate:
         validate_inputs(points, scalars, cfg)
     N = pad_size(max(n, multiple))
+    x_u16, y_u16 = pad_points_words(points, cfg, N)
+    return x_u16, y_u16, pad_scalars_words(scalars, cfg, N)
+
+
+def pad_points_words(
+    points: list[tuple[int, int]], cfg: MsmConfig, N: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Points half of ``pad_inputs``: pad to N with the generator and
+    serialize to u16-word arrays. Split out for the serving plan API,
+    which serializes points ONCE and scalars per call."""
+    n = len(points)
     gx, gy = cfg.curve.gx % cfg.curve.modulus, cfg.curve.gy % cfg.curve.modulus
     px = [p[0] for p in points] + [gx] * (N - n)
     py = [p[1] for p in points] + [gy] * (N - n)
+    cb = (cfg.curve.modulus_bits + 7) // 8
+    cb = max(cb, 2)
+    return ints_to_u16_array(px, cb), ints_to_u16_array(py, cb)
+
+
+def pad_scalars_words(
+    scalars: list[int], cfg: MsmConfig, N: int
+) -> np.ndarray:
+    """Scalars half of ``pad_inputs``: pad to N with zero scalars (zero
+    digits land in bucket 0, whose multiplier is 0 — inert in both
+    pipelines; the reference instead pads with +-cancelling random pairs,
+    msm.rs:48-61) and serialize to a u16-word array.
+
+    Scalar domain: the signed-window geometry proves its top-digit bound
+    only for k < order (the reference's Fr type enforces this statically,
+    lib.rs:20-24; a raw out-of-range int here would overflow the top
+    bucket index SILENTLY). Reduce only when violated — the common case
+    pays one compare per scalar, not a bigint mod. Contract note: like
+    the reference, points must lie in the prime-order subgroup (all
+    shipped G1 generators do); k = k mod order is only an identity
+    there, so cofactor>1 curve points OUTSIDE the subgroup are
+    out-of-contract either way."""
+    n = len(scalars)
     ks = list(scalars)
-    # scalar domain: the signed-window geometry proves its top-digit bound
-    # only for k < order (the reference's Fr type enforces this statically,
-    # lib.rs:20-24; a raw out-of-range int here would overflow the top
-    # bucket index SILENTLY). Reduce only when violated — the common case
-    # pays one compare per scalar, not a bigint mod. Contract note: like
-    # the reference, points must lie in the prime-order subgroup (all
-    # shipped G1 generators do); k = k mod order is only an identity
-    # there, so cofactor>1 curve points OUTSIDE the subgroup are
-    # out-of-contract either way.
     order = cfg.curve.order
     if any(k < 0 or k >= order for k in ks):
         ks = [k % order for k in ks]
     ks = ks + [0] * (N - n)
     nb = (cfg.scalar_bits + 7) // 8
-    cb = (cfg.curve.modulus_bits + 7) // 8
-    cb = max(cb, 2)
-    return (
-        ints_to_u16_array(px, cb),
-        ints_to_u16_array(py, cb),
-        ints_to_u16_array(ks, nb),
-    )
+    return ints_to_u16_array(ks, nb)
 
 
 def pack_points(pts: PointBatch, cfg) -> jax.Array:

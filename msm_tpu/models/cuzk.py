@@ -61,6 +61,24 @@ def _window_sums_mont(
     [S, 3, L] (stacked PointBatch coordinates)."""
     ec = get_curve_ctx(cfg)
     pts, packed = common.prepare_points(ec, x_u16, y_u16, geom.num_rows)
+    return window_sums_from_table(pts, packed, s_u16, cfg, geom)
+
+
+def window_sums_from_table(
+    pts,
+    packed,
+    s_u16: jax.Array,
+    cfg: MsmConfig,
+    geom: MsmGeometry,
+) -> jax.Array:
+    """Scalar-side pipeline body (stages 1b-4) with the point table already
+    prepared: signed decompose + per-subtask boundary scans + telescoped
+    reduction -> Montgomery window sums [S, 3, L]. The table is either a
+    ``packed`` fused-convert array (TPU path) or an unpacked Montgomery
+    ``pts`` PointBatch (XLA fallback) — exactly ``prepare_points``'s
+    output. Split out so the serving plan API (models/plan.py) can cache
+    the table across many scalar sets."""
+    ec = get_curve_ctx(cfg)
     if cfg.glv:
         # GLV: 2n points (P, phi(P)), half-length scalars -> half the
         # subtasks; keys/signs columns n..2n-1 address the phi table half
@@ -110,13 +128,19 @@ def cuzk_msm_point(
     fetch). Requires the Pallas path (callers fall back to
     cuzk_window_sums + the host Horner otherwise, matching the
     reference's host finish at msm.rs:409-416)."""
+    ws = _window_sums_all(x_u16, y_u16, s_u16, cfg, geom)
+    return msm_point_from_ws(ws, cfg)
+
+
+def msm_point_from_ws(ws: jax.Array, cfg: MsmConfig) -> jax.Array:
+    """Montgomery window sums [S, 3, L] -> ONE standard-form projective
+    point [3, L] (device Horner ladder + from-Montgomery export)."""
     from msm_tpu.ops.curve import (
         PointBatch, _pallas_enabled, pallas_interpret,
     )
     from msm_tpu.ops.pallas_prefix import make_horner_ladder
 
     ec = get_curve_ctx(cfg)
-    ws = _window_sums_all(x_u16, y_u16, s_u16, cfg, geom)
     S = ws.shape[0]
     # interpret also when Pallas is off entirely (e.g. an env-pinned CPU
     # bench run) — the ladder has no XLA fallback and must stay runnable
