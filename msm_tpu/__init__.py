@@ -107,7 +107,8 @@ def run_tpu_msm(points, scalars, config=None, validate=False):
     in-subgroup for cofactor>1 curves) and raises ``ValueError`` on
     violation — the guard the reference gets statically from halo2curves'
     typed points (``src/lib.rs:20-42``). Off by default: it costs ~1 us
-    per point (much more on cofactor>1 curves) and trusted callers skip it.
+    per point on-curve checking, plus one vectorized device [r]P ladder
+    for cofactor>1 curves (~seconds at 2^18), and trusted callers skip it.
     """
     from msm_tpu.models.cuzk import compute_msm
 

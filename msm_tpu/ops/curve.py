@@ -246,6 +246,26 @@ class CurveCtx:
         (acc, _, _), _ = jax.lax.scan(step, init, None, length=nbits)
         return acc
 
+    def scalar_mul_static(self, p: PointBatch, k: int) -> PointBatch:
+        """p * k for ONE static python-int scalar of any width, applied to
+        the whole batch — MSB-first double-and-add under lax.scan with the
+        bit pattern as the scanned operand (the full-width ``scalar_mul``
+        of ec.template.wgsl:88-102, vectorized and branch-free). The adds
+        ride the fused Pallas kernel on TPU, so k of ~255 bits over a
+        2^18-point batch is ~2 x order_bits point-ops at the measured scan
+        rate (~seconds), vs ~minutes/point for a host ladder."""
+        if k <= 0:
+            assert k == 0, "negative static scalars unsupported"
+            return self.identity(p.batch_shape)
+        bits = jnp.asarray([c == "1" for c in bin(k)[2:]], dtype=bool)
+
+        def step(acc, bit):
+            acc = self.double(acc)
+            return point_where(bit, self.add(acc, p), acc), None
+
+        acc, _ = jax.lax.scan(step, self.identity(p.batch_shape), bits)
+        return acc
+
     # -- equality / export -------------------------------------------------------
 
     def eq(self, p: PointBatch, q: PointBatch) -> jax.Array:

@@ -180,6 +180,46 @@ def test_validate_rejects_out_of_subgroup_point():
     validate_inputs([(BLS12_381.gx, BLS12_381.gy)], [1], cfg)
 
 
+def test_validate_subgroup_batch_device_ladder():
+    """The vectorized device [r]P ladder (VERDICT r4 weak #6): a batch
+    with one out-of-subgroup point is rejected AT THE RIGHT INDEX, and the
+    cofactor-cleared image [h]P' of that same point passes."""
+    from msm_tpu.models.common import validate_inputs
+    from msm_tpu.params import BLS12_381
+
+    q, b, r, h = (
+        BLS12_381.modulus, BLS12_381.b, BLS12_381.order, BLS12_381.cofactor,
+    )
+    cv = Curve(BLS12_381)
+
+    def mul_unreduced(pt, k):
+        from msm_tpu.oracle.pyecc import IDENTITY
+
+        acc = IDENTITY
+        for bit in bin(k)[2:]:
+            acc = cv.double(acc)
+            if bit == "1":
+                acc = cv.add(acc, pt)
+        return acc
+
+    pt = None
+    for x in range(2, 64):
+        y2 = (x * x * x + b) % q
+        y = pow(y2, (q + 1) // 4, q)
+        if y * y % q == y2:
+            pt = (x, y)
+            break
+    assert pt is not None
+    cleared = cv.to_affine(mul_unreduced(cv.from_affine(*pt), h))
+    gen = (BLS12_381.gx, BLS12_381.gy)
+    cfg = MsmConfig(curve=BLS12_381, chunk_size=8)
+    good = [gen, cleared, gen, cleared, gen]
+    validate_inputs(good, [1] * len(good), cfg)  # cleared points pass
+    bad = good[:3] + [pt] + good[3:]
+    with pytest.raises(ValueError, match="point 3 is outside"):
+        validate_inputs(bad, [1] * len(bad), cfg)
+
+
 @pytest.mark.slow
 def test_cuzk_msm_4096():
     pts, ks = _fixture(4096, seed=7)
