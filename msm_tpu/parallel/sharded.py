@@ -30,7 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from msm_tpu.models import common
-from msm_tpu.models.cuzk import _window_sums_mont
+from msm_tpu.models import cuzk as _cuzk
 from msm_tpu.models.geometry import MsmGeometry, pick_geometry
 from msm_tpu.ops.curve import PointBatch, get_curve_ctx
 from msm_tpu.oracle.pyecc import JPoint
@@ -63,10 +63,13 @@ def _tree_add_points(ec, stacked: jax.Array) -> jax.Array:
 
 #: Single-shard cuZK stages 1-4: u16 inputs [m, 16] -> Montgomery window
 #: sums [S, 3, L]. This IS the production single-chip body
-#: (models.cuzk._window_sums_mont — fused kernels, telescoped reduction):
-#: one pipeline, whether sharded or not, exactly like the reference's single
+#: (models.cuzk._window_sums_all — fused kernels, telescoped reduction,
+#: INCLUDING the n > SLICE per-slice composition, so a shard larger than
+#: 2^20 slices locally exactly like the single-chip path): one pipeline,
+#: whether sharded or not, exactly like the reference's single
 #: command-buffer submit covering every stage (src/cuzk/msm.rs:92-94).
-_local_window_sums_mont = _window_sums_mont
+def _local_window_sums(x, y, s, cfg, geom):
+    return _cuzk._window_sums_all(x, y, s, cfg, geom)
 
 
 @functools.partial(
@@ -87,7 +90,7 @@ def sharded_window_sums(
     ec = get_curve_ctx(cfg)
 
     def shard_fn(x, y, s):
-        ws_m = _local_window_sums_mont(x, y, s, cfg, geom)  # [S, 3, L] local
+        ws_m = _local_window_sums(x, y, s, cfg, geom)  # [S, 3, L] local
         allws = jax.lax.all_gather(ws_m, axis)  # [D, S, 3, L]
         return _tree_add_points(ec, allws)  # replicated [S, 3, L]
 
@@ -126,12 +129,39 @@ def compute_msm_sharded(
         points, scalars, config, multiple=16 * d
     )
     n = x_u16.shape[0]
+    # size scaling composes with sharding exactly like single-chip
+    # (SURVEY §5 "input-size scaling x sharding"): shards larger than
+    # SLICE slice inside the shard_map program (_window_sums_all), and
+    # shards larger than CHUNK_MAX run host-level chunks of d*CHUNK_MAX
+    # global points whose window sums merge in exact ints
     geom = geometry or pick_geometry(
-        n // d, config.chunk_size, compress=config.compress
+        min(n // d, _cuzk.SLICE), config.chunk_size,
+        compress=config.compress,
     )
     sharding = NamedSharding(mesh, P(axis, None))
-    xd = jax.device_put(jnp.asarray(x_u16), sharding)
-    yd = jax.device_put(jnp.asarray(y_u16), sharding)
-    sd = jax.device_put(jnp.asarray(s_u16), sharding)
-    ws = sharded_window_sums(xd, yd, sd, config, geom, mesh, axis)
-    return common.window_sums_to_result(np.asarray(ws), config)
+    chunk_global = _cuzk.CHUNK_MAX * d
+    if n <= chunk_global:
+        xd = jax.device_put(jnp.asarray(x_u16), sharding)
+        yd = jax.device_put(jnp.asarray(y_u16), sharding)
+        sd = jax.device_put(jnp.asarray(s_u16), sharding)
+        ws = sharded_window_sums(xd, yd, sd, config, geom, mesh, axis)
+        return common.window_sums_to_result(np.asarray(ws), config)
+    from msm_tpu.oracle.pyecc import Curve
+
+    assert n % chunk_global == 0, (n, chunk_global)
+    cv = Curve(config.curve)
+    acc = None
+    for lo in range(0, n, chunk_global):
+        xd = jax.device_put(
+            jnp.asarray(x_u16[lo : lo + chunk_global]), sharding
+        )
+        yd = jax.device_put(
+            jnp.asarray(y_u16[lo : lo + chunk_global]), sharding
+        )
+        sd = jax.device_put(
+            jnp.asarray(s_u16[lo : lo + chunk_global]), sharding
+        )
+        ws = sharded_window_sums(xd, yd, sd, config, geom, mesh, axis)
+        wj = common.window_sums_to_jpoints(np.asarray(ws), config)
+        acc = wj if acc is None else [cv.add(a, b) for a, b in zip(acc, wj)]
+    return common.horner_window_sums(acc, config)

@@ -202,7 +202,30 @@ def test_bls12_377_curve_ops():
         assert (x * zi % p, y * zi % p) == want
 
 
-def test_double_chain_bounded_with_R_offset_representation():
+@pytest.mark.parametrize(
+    "curve_name,chunk",
+    [
+        # all 7 curves x {production, small} chunk sizes: the renorm
+        # fold's bound depends on fold_s = f(modulus_bits, word_size, L),
+        # which varies with each curve's slack (VERDICT r4 item 9). The
+        # original r4 repro is secp256k1 chunk 13. Four representative
+        # params stay in the default tier (~45 s each: the repro, the
+        # max-slack BN254, the zero-slack L=30 BLS12-381, the r4-new
+        # cycle partner); the full 7x2 sweep runs in the slow tier.
+        (name, chunk)
+        if (name, chunk) in (
+            ("secp256k1", 13), ("bn254", 8), ("bls12_381", 13),
+            ("vesta", 8),
+        )
+        else pytest.param(name, chunk, marks=pytest.mark.slow)
+        for name in (
+            "bn254", "bls12_377", "bls12_381", "pallas", "secp256k1",
+            "grumpkin", "vesta",
+        )
+        for chunk in (8, 13)
+    ],
+)
+def test_double_chain_bounded_with_R_offset_representation(curve_name, chunk):
     """Regression (r4, fuzz_e2e seed 0 trial 1): a field element whose limb
     representation carries a -R offset (top limb -2^w from the sweep's
     exact-top-overflow rule) is value-correct mod p but magnitude ~R, and
@@ -211,12 +234,20 @@ def test_double_chain_bounded_with_R_offset_representation():
     (observed at iteration 7 of a secp256k1 window-sum doubling ladder).
     The top-limb renormalization fold in FieldCtx.mont_mul and the Pallas
     _make_field_ops must keep a 12-double chain exact AND limb-bounded."""
-    from msm_tpu.ops.curve import get_curve_ctx, set_pallas_mode
-    from msm_tpu.params import SECP256K1
+    import jax
 
-    cfg = MsmConfig(curve=SECP256K1, chunk_size=13)
-    cv = Curve(SECP256K1)
-    p = SECP256K1.modulus
+    from msm_tpu.ops.curve import get_curve_ctx, set_pallas_mode
+    from msm_tpu.params import CURVES
+
+    # every param compiles fresh programs (unique cfg); without this the
+    # in-process jit caches accumulate across the 14 params until the CPU
+    # backend segfaults (~param 12 on a 128 GB box — same failure mode the
+    # fuzzer guards against, scripts/fuzz_e2e.py)
+    jax.clear_caches()
+    spec = CURVES[curve_name]
+    cfg = MsmConfig(curve=spec, chunk_size=chunk)
+    cv = Curve(spec)
+    p = spec.modulus
     ec = get_curve_ctx(cfg)
     g = cv.sample_points(1, seed=5)[0]
     gx, gy = cv.to_affine(g)
@@ -251,5 +282,11 @@ def test_double_chain_bounded_with_R_offset_representation():
         Z = L.limbs_to_int(np.asarray(dd.z, np.int64), cfg.word_size) * rinv % p
         zi = pow(Z, -1, p)
         assert (X * zi % p, Y * zi % p) == cv.to_affine(gg), mode
+        # post-renorm limb magnitudes stay within a small multiple of the
+        # radix (2^w) — 4x headroom below the invariant's working bound,
+        # far below the int32 overflow the pre-fix chain reached
         for a in (dd.x, dd.y, dd.z):
-            assert int(np.abs(np.asarray(a)).max()) < 1 << 15, mode
+            bound = 1 << (cfg.word_size + 2)
+            assert int(np.abs(np.asarray(a)).max()) < bound, (
+                mode, curve_name, chunk,
+            )

@@ -114,3 +114,40 @@ def test_sharded_glv_compress_interpret():
     finally:
         set_pallas_mode("auto")
     assert CV.eq(got, best_msm(pts, ks))
+
+
+def test_sharded_sliced_composition(monkeypatch):
+    """Sharded x sliced (VERDICT r4 item 7): a shard larger than SLICE
+    slices INSIDE the shard_map program (_window_sums_all composition).
+    Production trigger: per-shard n > 2^20; shrunk so each of 4 shards
+    runs 2 slices. Oracle-verified on the CPU mesh."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from msm_tpu.models import cuzk as cuzk_mod
+    from msm_tpu.oracle import best_msm
+
+    monkeypatch.setattr(cuzk_mod, "SLICE", 128)
+    mesh = default_mesh(jax.devices()[:4])
+    n = 1024  # 256/shard = 2 slices of 128
+    pts, ks = _sample(n, seed=31)
+    got = compute_msm_sharded(pts, ks, CFG, mesh=mesh)
+    assert CV.eq(got, best_msm(pts, ks))
+
+
+def test_sharded_chunked_composition(monkeypatch):
+    """Sharded x chunked (VERDICT r4 item 7): per-shard n > CHUNK_MAX runs
+    host-level chunks of d*CHUNK_MAX global points, each sharded+sliced,
+    merged in exact ints. Shrunk: 2048 points over 4 shards with
+    CHUNK_MAX=256, SLICE=128 -> 2 host chunks x (4 shards x 2 slices)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from msm_tpu.models import cuzk as cuzk_mod
+    from msm_tpu.oracle import best_msm
+
+    monkeypatch.setattr(cuzk_mod, "SLICE", 128)
+    monkeypatch.setattr(cuzk_mod, "CHUNK_MAX", 256)
+    mesh = default_mesh(jax.devices()[:4])
+    n = 2048
+    pts, ks = _sample(n, seed=32)
+    got = compute_msm_sharded(pts, ks, CFG, mesh=mesh)
+    assert CV.eq(got, best_msm(pts, ks))
