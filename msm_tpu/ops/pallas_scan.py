@@ -59,6 +59,65 @@ def coord_words(cfg: MsmConfig) -> int:
     return (cfg.curve.modulus_bits + 31) // 32
 
 
+def pe_pack16(cfg: MsmConfig) -> bool:
+    """True when the boundary-prefix rows can be emitted as int16 limb
+    PAIRS (two balanced limbs per int32 word), halving the in-kernel
+    (3L, tile) -> (tile, 3L) transpose work, the pe HBM write traffic and
+    the boundary-gather row width (r5, VERDICT item 2).
+
+    Soundness gate (static): pe rows are fully-swept + top-renormalized
+    f_mul2 outputs (never raw accumulator state), so per-limb magnitudes
+    are bounded by 2^w + 128 (non-top; the post-sweep carry bound proved
+    at pallas_curve._make_field_ops BOUND) and ~2^(s+2) (top limb: REDC
+    value <= ~32p over 2^(w(L-1)), s the renorm fold shift). Both must
+    clear int16: production w=13 curves pass with >= 4x headroom; w>=15
+    never packs. Env override MSM_TPU_PE_PACK=0 forces the unpacked
+    layout (hardware A/B; note make_scan_rows caches per-process)."""
+    import os
+
+    if os.environ.get("MSM_TPU_PE_PACK", "1") == "0":
+        return False
+    w, L = cfg.word_size, cfg.num_words
+    pbits = cfg.curve.modulus.bit_length()
+    s = max(0, pbits + 3 - w * (L - 1))
+    return ((1 << (s + 2)) + (1 << 8) < (1 << 15)) and (
+        (1 << w) + 128 < (1 << 15)
+    )
+
+
+def pe_layout_cpr() -> bool:
+    """Experimental A/B knob (MSM_TPU_PE_LAYOUT=cpr): emit the prefix
+    array limbs-first [C, P, R] with NO in-kernel transpose and let ONE
+    XLA layout copy produce the gather layout instead (scan.py swapaxes
+    at the call site). Trades Mosaic transpose compute for an HBM
+    round-trip of the pe array. Same per-process caching caveat as
+    MSM_TPU_PE_PACK."""
+    import os
+
+    return os.environ.get("MSM_TPU_PE_LAYOUT", "") == "cpr"
+
+
+def pe_row_words(cfg: MsmConfig) -> int:
+    """int32 words per boundary-prefix row as emitted by the scan kernel:
+    (3L+1)//2 when the int16 pair packing is active, else 3L."""
+    L3 = 3 * cfg.num_words
+    return (L3 + 1) // 2 if pe_pack16(cfg) else L3
+
+
+def unpack_pe_rows(rows: jax.Array, cfg: MsmConfig) -> jax.Array:
+    """[..., P] kernel-emitted boundary rows -> [..., 3L] balanced limbs.
+    Identity when the rows are already unpacked; otherwise splits each
+    int32 into its (lo, hi) int16 pair with sign-preserving arithmetic
+    shifts."""
+    L3 = 3 * cfg.num_words
+    if rows.shape[-1] == L3:
+        return rows
+    lo = (rows << 16) >> 16  # arithmetic: recovers the signed low limb
+    hi = rows >> 16
+    inter = jnp.stack([lo, hi], axis=-1).reshape(*rows.shape[:-1], -1)
+    return inter[..., :L3]
+
+
 def _pack_plan(w: int, L: int, D: int) -> list[list[tuple[int, int]]]:
     """Static bit plan: plan[k] lists (limb j, shift) whose
     ``limb_j << shift`` (``>> -shift`` when negative) contributes bits to
@@ -202,6 +261,8 @@ def make_scan_rows(
     # identity = (0 : 1 : 0) in Montgomery form -> y = R mod p
     rm_np = int_to_limbs(cfg.r, cfg.word_size, L).astype(np.int32)[:, None]
     madd = _rcb16_madd(cfg)
+    P = pe_row_words(cfg)  # 3L, or (3L+1)//2 under int16 pair packing
+    cpr = pe_layout_cpr()  # A/B: emit [C, P, R], XLA transposes outside
 
     def kernel(
         q, b3m, rm, pxy, sg, ope, otx, oty, otz,
@@ -232,11 +293,23 @@ def make_scan_rows(
         accx[:] = x3
         accy[:] = y3
         accz[:] = z3
-        # boundary-gatherable layout: one row of 3L contiguous limbs per
-        # prefix value — prefix_at's per-bucket gather reads ONE ~240 B
-        # row instead of 3x20 R-strided words (37 -> ~5 ms per 2^20 MSM);
-        # concat-then-transpose lets Mosaic do one (3L, tile) transpose
-        ope[0] = jnp.concatenate([x3, y3, z3], axis=0).T
+        # boundary-gatherable layout: one row of contiguous limbs per
+        # prefix value — prefix_at's per-bucket gather reads ONE row
+        # instead of 3x20 R-strided words (37 -> ~5 ms per 2^20 MSM);
+        # concat-then-transpose lets Mosaic do one (P, tile) transpose.
+        # When pe_pack16 holds, adjacent limbs pack as int16 pairs first
+        # (bounds proved at the gate), halving the transpose rows and the
+        # pe store traffic.
+        cat = jnp.concatenate([x3, y3, z3], axis=0)  # [3L, tile]
+        if P != 3 * L:
+            pairs = [
+                (cat[i : i + 1] & 0xFFFF) | (cat[i + 1 : i + 2] << 16)
+                for i in range(0, 3 * L - 1, 2)
+            ]
+            if 3 * L % 2:
+                pairs.append(cat[3 * L - 1 :] & 0xFFFF)
+            cat = jnp.concatenate(pairs, axis=0)  # [P, tile]
+        ope[0] = cat if cpr else cat.T
 
         @pl.when(c == C - 1)
         def _():
@@ -250,11 +323,13 @@ def make_scan_rows(
         hardware tiling, so the gathered input needs no XLA layout copy);
         signs: [C, 1, R].
 
-        Returns (pe3 [C, R, 3L], tx, ty, tz [L, R]): pe3[c, r] is the
+        Returns (pe3 [C, R, P], tx, ty, tz [L, R]): pe3[c, r] is the
         inclusive point-prefix of lane r after step c as x||y||z limb
         rows (gather-friendly: the bucket-boundary extraction reads
-        contiguous rows); (tx, ty, tz) are the lane totals (= step C-1),
-        limbs-first for the row-offsets kernel."""
+        contiguous rows; P = pe_row_words — int16 limb pairs when
+        pe_pack16 holds, decoded by unpack_pe_rows); (tx, ty, tz) are the
+        lane totals (= step C-1), limbs-first for the row-offsets
+        kernel."""
         assert pxy.shape == (C, W, R), (pxy.shape, (C, W, R))
         assert signs.shape == (C, 1, R), signs.shape
         assert R % tile == 0, (R, tile)
@@ -265,9 +340,16 @@ def make_scan_rows(
         sgspec = pl.BlockSpec(
             (1, 1, tile), lambda r, c: (c, 0, r), memory_space=pltpu.VMEM
         )
-        pespec = pl.BlockSpec(
-            (1, tile, 3 * L), lambda r, c: (c, r, 0),
-            memory_space=pltpu.VMEM,
+        pespec = (
+            pl.BlockSpec(
+                (1, P, tile), lambda r, c: (c, 0, r),
+                memory_space=pltpu.VMEM,
+            )
+            if cpr
+            else pl.BlockSpec(
+                (1, tile, P), lambda r, c: (c, r, 0),
+                memory_space=pltpu.VMEM,
+            )
         )
         totspec = pl.BlockSpec(
             (L, tile), lambda r, c: (0, r), memory_space=pltpu.VMEM
@@ -275,7 +357,9 @@ def make_scan_rows(
         cspec = pl.BlockSpec(
             (L, 1), lambda r, c: (0, 0), memory_space=pltpu.VMEM
         )
-        pe_shape = jax.ShapeDtypeStruct((C, R, 3 * L), jnp.int32)
+        pe_shape = jax.ShapeDtypeStruct(
+            (C, P, R) if cpr else (C, R, P), jnp.int32
+        )
         tot_shape = jax.ShapeDtypeStruct((L, R), jnp.int32)
         return pl.pallas_call(
             kernel,

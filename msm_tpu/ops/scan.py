@@ -165,17 +165,21 @@ def prefix_at(
 ) -> PointBatch:
     """Gather inclusive prefix values at positions ``idx`` (int32 [m]);
     idx == -1 yields the identity (empty prefix). ``packed3=True`` means
-    row_prefix is the scan kernel's [C, R, 3L] boundary layout (x||y||z
-    limbs contiguous per row — ONE gathered row per position); otherwise
-    a PointBatch stored [C, R, L]."""
+    row_prefix is the scan kernel's [C, R, P] boundary layout (x||y||z
+    limbs contiguous per row — ONE gathered row per position; int16 limb
+    pairs when pallas_scan.pe_pack16 holds); otherwise a PointBatch
+    stored [C, R, L]."""
     C = (row_prefix.shape if packed3 else row_prefix.x.shape)[0]
     valid = idx >= 0
     i = jnp.maximum(idx, 0)
     r = i // C
     c = i % C
     if packed3:
-        L = row_prefix.shape[-1] // 3
-        row = row_prefix[c, r]  # [m, 3L] — one fast row gather
+        from msm_tpu.ops.pallas_scan import unpack_pe_rows
+
+        L = ec.cfg.num_words
+        row = row_prefix[c, r]  # [m, P] — one fast row gather
+        row = unpack_pe_rows(row, ec.cfg)  # [m, 3L]
         rp = PointBatch(
             row[..., :L], row[..., L : 2 * L], row[..., 2 * L :]
         )
@@ -504,9 +508,9 @@ def _sorted_prefix(
     available (the fused-convert models never materialize the PointBatch).
 
     Returns (row_prefix, row_offsets, packed3): the kernel path stores
-    row_prefix as the [C, R, 3L] boundary-gather layout (packed3=True,
-    emitted directly by the scan kernel); the XLA path stays a PointBatch
-    [C, R, L]."""
+    row_prefix as the [C, R, P] boundary-gather layout (packed3=True,
+    emitted directly by the scan kernel; P = pallas_scan.pe_row_words);
+    the XLA path stays a PointBatch [C, R, L]."""
     n = pv.shape[0]
     R = num_rows
     # GLV kernel runs need the triple-row packed table (the doubled
@@ -545,6 +549,10 @@ def _sorted_prefix(
     pe3, tx, ty, tz = make_scan_rows(
         ec.cfg, C, R, interpret=pallas_interpret()
     )(g.reshape(C, R, W).swapaxes(1, 2), sg.reshape(C, 1, R))
+    from msm_tpu.ops.pallas_scan import pe_layout_cpr
+
+    if pe_layout_cpr():  # limbs-first emission: ONE XLA copy to gather layout
+        pe3 = pe3.swapaxes(1, 2)
     from msm_tpu.ops.pallas_prefix import make_row_offsets
 
     # fused exclusive-prefix kernel over the [L, R] row totals: one dispatch

@@ -12,7 +12,12 @@ import pytest
 
 from msm_tpu.models import common
 from msm_tpu.ops.curve import PointBatch, get_curve_ctx
-from msm_tpu.ops.pallas_scan import coord_words, make_scan_rows, pack_coords
+from msm_tpu.ops.pallas_scan import (
+    coord_words,
+    make_scan_rows,
+    pack_coords,
+    unpack_pe_rows,
+)
 from msm_tpu.ops.scan import blocked_prefix_scan
 from msm_tpu.oracle.pyecc import Curve
 from msm_tpu.params import BLS12_377, BN254, PALLAS, MsmConfig
@@ -46,6 +51,7 @@ def test_fused_scan_matches_blocked_scan():
         arrange(packed, 2 * coord_words(CFG)).swapaxes(1, 2),  # [C, 2D, R]
         signs.reshape(R, C).swapaxes(0, 1).reshape(C, 1, R),
     )
+    pe3 = unpack_pe_rows(pe3, CFG)
     got = PointBatch(  # [C, R, 3L] boundary layout -> [C, R, L] batch
         pe3[..., :L], pe3[..., L : 2 * L], pe3[..., 2 * L :]
     )
@@ -271,6 +277,7 @@ def test_fused_scan_other_curves(curve):
         packed.reshape(R, C, W).swapaxes(0, 1).swapaxes(1, 2),  # [C, W, R]
         signs.reshape(R, C).swapaxes(0, 1).reshape(C, 1, R),
     )
+    pe3 = unpack_pe_rows(pe3, cfg)
     got = PointBatch(
         pe3[..., :L], pe3[..., L : 2 * L], pe3[..., 2 * L :]
     )
@@ -339,3 +346,33 @@ def test_mxu_bucket_hist_matches_numpy():
     finally:
         set_pallas_mode("auto")
     assert (ends == np.cumsum(want)).all()
+
+
+def test_pe_pack16_gate_and_roundtrip():
+    """The int16 pe pair-packing gate (r5, VERDICT item 2): active exactly
+    when the static limb bounds clear int16 — all shipped w=13 curves pack;
+    w=15/16 never do. Roundtrip exactness on the full bound range."""
+    from msm_tpu.ops.pallas_scan import pe_pack16, pe_row_words, unpack_pe_rows
+    from msm_tpu.params import CURVES
+
+    for name, spec in CURVES.items():
+        cfg13 = MsmConfig(curve=spec, word_size=13)
+        assert pe_pack16(cfg13), name  # production word size always packs
+        assert pe_row_words(cfg13) == (3 * cfg13.num_words + 1) // 2
+        cfg16 = MsmConfig(curve=spec, word_size=16)
+        assert not pe_pack16(cfg16), name
+        assert pe_row_words(cfg16) == 3 * cfg16.num_words
+    # roundtrip: the exact bound range the gate admits, incl. negatives
+    cfg = MsmConfig(curve=BN254)
+    lim = (1 << 14) + 256  # strictly wider than any admitted bound
+    rng = np.random.default_rng(23)
+    limbs = jnp.asarray(
+        rng.integers(-lim, lim + 1, size=(7, 3 * cfg.num_words)),
+        dtype=jnp.int32,
+    )
+    lo = limbs[..., 0::2] & 0xFFFF
+    hi = limbs[..., 1::2] << 16
+    packed = lo | hi
+    assert packed.shape[-1] == pe_row_words(cfg)
+    got = unpack_pe_rows(packed, cfg)
+    assert bool(jnp.all(got == limbs))
