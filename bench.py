@@ -412,6 +412,9 @@ def main() -> None:
     ap.add_argument("--glv", action="store_true", help="GLV endomorphism config")
     ap.add_argument("--compress", action="store_true",
                     help="batched-affine pair compression config")
+    ap.add_argument("--karatsuba", action="store_true",
+                    help="difference-Karatsuba phase-1 convolutions in the "
+                    "Pallas Montgomery product (r5 A/B candidate)")
     ap.add_argument("--verify", action="store_true")
     ap.add_argument("--timings", action="store_true")
     ap.add_argument("--reps", type=int, default=3)
@@ -466,6 +469,8 @@ def main() -> None:
     if args.glv or args.compress:
         cfg = replace(cfg, glv=args.glv or cfg.glv,
                       compress=args.compress or cfg.compress)
+    if args.karatsuba:
+        cfg = replace(cfg, karatsuba=True)
 
     def _verified(c, bits=14):
         """Quick self-check of config c at 2^bits vs the CPU oracle."""
@@ -491,7 +496,8 @@ def main() -> None:
     # 2^20; PERF_NOTES round-3/4): the candidate costs ~143 s of compile
     # per run, so the default headline run no longer pays for it.
     req_label = "+".join(
-        [k for k, on in (("glv", cfg.glv), ("compress", cfg.compress))
+        [k for k, on in (("glv", cfg.glv), ("compress", cfg.compress),
+                         ("karatsuba", cfg.karatsuba))
          if on]
     ) or "base"
     candidates = [(req_label, cfg)]

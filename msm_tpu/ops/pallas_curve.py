@@ -66,6 +66,24 @@ def _sweep_cols(x: jax.Array, w: int, mask: int) -> jax.Array:
     return jnp.concatenate([out[:-1], top], axis=0)
 
 
+def karatsuba_ok(cfg: MsmConfig) -> bool:
+    """Static eligibility of the difference-Karatsuba phase-1
+    (cfg.karatsuba): num_words must split evenly and both int32 column
+    budgets must clear (see the bound derivation at the _make_field_ops
+    gate). BN254-class w=13/L=20 passes with ~35% margin; BLS12-377/381
+    (L=30) with ~3%; odd-L (Pasta w=13) and w>=14 configs do not."""
+    w, L = cfg.word_size, cfg.num_words
+    if L % 2:
+        return False
+    h = L // 2
+    B = (1 << w) + 128  # swept mul-operand limb (= BOUND)
+    Dnt = (1 << w) + 4  # swept difference limb (non-top)
+    Dt = 2 * B + 4  # swept difference TOP limb (keeps its overflow)
+    return (2 * h * B * B + (1 << 19) < (1 << 31)) and (
+        (h - 2) * Dnt * Dnt + 2 * Dt * Dnt + (1 << 19) < (1 << 31)
+    )
+
+
 def _make_field_ops(
     cfg: MsmConfig, q_col: jax.Array, acc_ref, dirty_mul_out: bool = False
 ):
@@ -136,6 +154,22 @@ def _make_field_ops(
     # phase-1 step width: amortizes the scratch load/add/store over S1
     # a-limbs per pass.
     S1 = next(s for s in (4, 3, 2, 1) if L % s == 0)
+    # --- difference-Karatsuba eligibility (cfg.karatsuba, r5) ----------
+    # a*b = c00 + X^h*(c00 + c11 - cdd) + X^2h*c11 with cdd = (a0-a1)(b0-b1):
+    # 3 half convolutions (3*h*(h+Sh-1) mul rows vs schoolbook L*(L+S1-1))
+    # at the price of extra window-accumulate adds and ONE mid-sweep of the
+    # overlap rows [h, 3h) — required to keep the int32 columns in budget:
+    #  * pre-mid-sweep peak (c00 + c11 overlap at column 2h-1): 2h products
+    #    of swept operands (<= BOUND each) + merged-pair residue;
+    #  * post-mid-sweep cdd accumulation: h products of the SWEPT
+    #    differences — non-top diff limbs <= 2^w + 4, the top diff limb
+    #    keeps its overflow (<= 2*BOUND + 4), two such terms per column.
+    _kara = cfg.karatsuba
+    if _kara:
+        assert karatsuba_ok(cfg), (
+            w, L, "karatsuba ineligible: odd num_words or int32 column "
+            "budget (pre-mid-sweep 2h*B^2 / difference-conv) overflows",
+        )
     # Column budget, proved against what the kernel actually relies on:
     # a middle schoolbook column accumulates up to L products across ALL
     # passes before the single sweep, and swept operand limbs are bounded
@@ -186,6 +220,59 @@ def _make_field_ops(
             acc_ref[i : i + W1] += sgn * s
         # one parallel sweep: columns -> < 2^13 + 2^18
         acc_ref[:] = sweep(acc_ref[:])
+
+    def _phase1_kara(a, b, accumulate: bool, negate: bool = False):
+        """Difference-Karatsuba a*b columns into acc_ref rows [0, 2L):
+        a*b = c00*(1 + X^h) + c11*(X^h + X^2h) - cdd*X^h with
+        cdd = (a0-a1)(b0-b1) — 3 half-size schoolbook convolutions
+        (3*h*(h+Sh-1) mul rows vs L*(L+S1-1)), each accumulated at its
+        window offset(s); the SWEPT differences and the mid-sweep of the
+        overlap rows keep every int32 column inside the budget asserted
+        at the eligibility gate above. Same exit state as _phase1: one
+        final full sweep, columns < 2^w + 2^18."""
+        T = a.shape[-1]
+        h2 = L // 2
+        zrow = jnp.zeros((1, T), dtype=jnp.int32)
+        sgn = -1 if negate else 1
+        if not accumulate:
+            acc_ref[:] = jnp.zeros_like(acc_ref[:])
+        a0, a1 = a[:h2], a[h2:]
+        b0, b1 = b[:h2], b[h2:]
+        da = sweep(a0 - a1)
+        db = sweep(b0 - b1)
+        Sh = next(s for s in (2, 1) if h2 % s == 0)
+        Wh = h2 + Sh - 1
+
+        def conv_passes(x, y):
+            y_ext = [
+                jnp.concatenate(
+                    [zrow] * j + [y] + [zrow] * (Wh - h2 - j), axis=0
+                )
+                if (j or Wh != h2)
+                else y
+                for j in range(Sh)
+            ]
+            for i in range(0, h2, Sh):
+                s = x[i : i + 1] * y_ext[0]
+                for j in range(1, Sh):
+                    s = s + x[i + j : i + j + 1] * y_ext[j]
+                yield i, s
+
+        for i, s in conv_passes(a0, b0):  # c00 -> offsets 0 and h
+            acc_ref[i : i + Wh] += sgn * s
+            acc_ref[h2 + i : h2 + i + Wh] += sgn * s
+        for i, s in conv_passes(a1, b1):  # c11 -> offsets h and 2h
+            acc_ref[h2 + i : h2 + i + Wh] += sgn * s
+            acc_ref[2 * h2 + i : 2 * h2 + i + Wh] += sgn * s
+        # mid-sweep of the c00/c11/cdd overlap window before cdd lands
+        # (value-preserving; the slice top row keeps its own overflow and
+        # is re-swept by the final full sweep)
+        acc_ref[h2 : 3 * h2] = sweep(acc_ref[h2 : 3 * h2])
+        for i, s in conv_passes(da, db):  # -cdd -> offset h
+            acc_ref[h2 + i : h2 + i + Wh] += (-sgn) * s
+        acc_ref[:] = sweep(acc_ref[:])
+
+    phase1 = _phase1_kara if _kara else _phase1
 
     def _redc(T, dirty: bool):
         # phase 2: REDC, RW low rows cleared per pass. Widening amortizes
@@ -248,7 +335,7 @@ def _make_field_ops(
     def mont_mul(a, b):
         """Fixed-position CIOS, S1 a-limbs per accumulation pass;
         |out| < ab/R + p + eps like FieldCtx."""
-        _phase1(a, b, accumulate=False)
+        phase1(a, b, accumulate=False)
         return _redc(a.shape[-1], dirty_mul_out)
 
     def mont_mul2(a1, b1, a2, b2, negate2: bool = False):
@@ -268,8 +355,8 @@ def _make_field_ops(
         are the kernel outputs that feed the next step's multiplies
         directly, with no re-normalizing f_add/f_sub in between (the
         normalization the dirty contract relies on)."""
-        _phase1(a1, b1, accumulate=False)
-        _phase1(a2, b2, accumulate=True, negate=negate2)
+        phase1(a1, b1, accumulate=False)
+        phase1(a2, b2, accumulate=True, negate=negate2)
         return _redc(a1.shape[-1], dirty=False)
 
     return add, sub, mont_mul, add_raw, mont_mul2

@@ -235,6 +235,12 @@ class MsmConfig:
     #                    stream (ops/pallas_compress.py): ~3.5 muls/point to
     #                    pre-add adjacent pairs, then the madd scan runs on
     #                    n/2 rows; kernel path only, needs (n/R) even
+    karatsuba: bool = False  # difference-Karatsuba phase-1 convolutions in
+    #                    the Pallas Montgomery product (pallas_curve): 3
+    #                    half-size schoolbook convs (-28% phase-1 mul rows)
+    #                    at the cost of extra window adds + one mid-sweep;
+    #                    needs num_words even and the int32 column budget
+    #                    (static asserts in _make_field_ops)
 
     # ---- limb geometry -----------------------------------------------------
     @property

@@ -57,6 +57,15 @@ def main() -> None:
             curve=curve, chunk_size=chunk, word_size=word_size,
             glv=glv, compress=compress,
         )
+        # r5: fold the difference-Karatsuba phase-1 into the lattice on
+        # eligible limb geometries (even L + int32 column budget)
+        from msm_tpu.ops.pallas_curve import karatsuba_ok
+
+        kara = bool(rng.integers(2)) and karatsuba_ok(cfg)
+        if kara:
+            from dataclasses import replace
+
+            cfg = replace(cfg, karatsuba=True)
         cv = Curve(curve)
         base = [cv.to_affine(p) for p in cv.sample_points(
             max(1, n // 2), seed=int(rng.integers(1 << 30)))]
@@ -83,7 +92,8 @@ def main() -> None:
 
         mode = "interpret" if trial % 2 else "auto"
         rec = dict(trial=trial, curve=curve.name, n=n, chunk=chunk,
-                   w=word_size, glv=glv, compress=compress, mode=mode)
+                   w=word_size, glv=glv, compress=compress, kara=kara,
+                   mode=mode)
         t0 = time.time()
         try:
             set_pallas_mode(mode)

@@ -26,6 +26,7 @@ def main() -> None:
     ap.add_argument("--size", type=int, default=20)
     ap.add_argument("--glv", action="store_true")
     ap.add_argument("--compress", action="store_true")
+    ap.add_argument("--karatsuba", action="store_true")
     ap.add_argument("--rows", type=int, default=0)
     ap.add_argument("--keep", default="", help="keep trace dir at this path")
     args = ap.parse_args()
@@ -41,7 +42,8 @@ def main() -> None:
     from msm_tpu.params import pick_config
 
     n = 1 << args.size
-    cfg = replace(pick_config(n), glv=args.glv, compress=args.compress)
+    cfg = replace(pick_config(n), glv=args.glv, compress=args.compress,
+                  karatsuba=args.karatsuba)
     cv = Curve(cfg.curve)
     basep = [cv.to_affine(p) for p in cv.sample_points(256, seed=1)]
     pts = [basep[i % 256] for i in range(n)]

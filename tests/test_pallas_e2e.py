@@ -36,11 +36,13 @@ def interpret_mode():
 @pytest.mark.slow  # full tier: every kernel here is covered by default-tier
 # parity tests (incl. the dedicated MXU-hist test) + the AOT lowering gate
 # + the shard_map interpret co-test running the same fused kernel body
-def test_cuzk_fused_pipeline_interpret_e2e(interpret_mode):
+@pytest.mark.parametrize("karatsuba", [False, True])
+def test_cuzk_fused_pipeline_interpret_e2e(interpret_mode, karatsuba):
     """n=8192 with num_rows=256 engages EVERY fused kernel: convert/pack
     (fused_scan_available: n % R == 0, R % 256 == 0), the scan + row-offsets
     kernels, the MXU histogram (needs n % 8192 == 0), and the telescoped
-    point-total (chunk 8 -> B-1 = 128 lanes)."""
+    point-total (chunk 8 -> B-1 = 128 lanes). The karatsuba param runs the
+    same composition with the difference-Karatsuba phase-1 (r5)."""
     n = 8192
     rng = np.random.default_rng(42)
     base = [CV.to_affine(p) for p in CV.sample_points(64, seed=13)]
@@ -49,7 +51,7 @@ def test_cuzk_fused_pipeline_interpret_e2e(interpret_mode):
         int.from_bytes(rng.bytes(32), "little") % BN254.order
         for _ in range(n)
     ]
-    cfg = MsmConfig(curve=BN254, chunk_size=8)
+    cfg = MsmConfig(curve=BN254, chunk_size=8, karatsuba=karatsuba)
     geom = MsmGeometry(num_rows=256, bpr_threads=64, subtask_batch=4)
     got = compute_msm_jpoint(pts, ks, config=cfg, geometry=geom)
     want = best_msm(pts, ks)
