@@ -368,6 +368,34 @@ def bench_plan(args) -> None:
     call_ms = min(times) * 1e3
     print(f"[bench] plan call (table reuse): {call_ms:.1f} ms",
           file=sys.stderr)
+    # device-program serving latency: scalars staged, then program+fetch.
+    # On the axon relay, ANY post-compute host->device transfer runs at
+    # ~25-50 MB/s (measured r5: plain-XLA matmuls degrade it identically —
+    # PERF_NOTES relay note), so call_ms on this rig is transfer-dominated;
+    # program_ms is what a PCIe/real-silicon deployment pays per call
+    # (+ ~2-5 ms for the 32 MB packed scalar upload).
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from msm_tpu.models.plan import (
+        _pack_scalar_words_host, _plan_msm_point,
+    )
+
+    program_ms = None
+    if len(plan._tables) == 1:
+        sd = _jnp.asarray(_pack_scalar_words_host(
+            plan._scalar_words(s_words[0])
+        ))
+        _jax.block_until_ready(sd)
+        times = []
+        for _ in range(args.reps):
+            t0 = time.time()
+            pt = _plan_msm_point(plan._tables[0], sd, plan.cfg, plan.geom)
+            np.asarray(pt)
+            times.append(time.time() - t0)
+        program_ms = min(times) * 1e3
+        print(f"[bench] plan program (scalars staged): {program_ms:.1f} ms",
+              file=sys.stderr)
     batch_ms = None
     if B > 1:
         plan.run_batch(s_words)  # compile + warm
@@ -399,6 +427,10 @@ def bench_plan(args) -> None:
         "call_ms": round(call_ms, 2),
         **({"batch_ms_per_instance": round(batch_ms, 2)} if batch_ms
            else {}),
+        **({"program_ms": round(program_ms, 2)} if program_ms else {}),
+        "relay_note": "call_ms includes the axon-relay post-compute "
+        "transfer floor (~25-50 MB/s); program_ms is the device serving "
+        "latency with scalars staged (PERF_NOTES r5 relay note)",
     }))
 
 

@@ -62,9 +62,9 @@ def compute_msm_batched(
         xs.append(x)
         ys.append(y)
         ss.append(s)
-    xb = jnp.asarray(np.stack(xs))
-    yb = jnp.asarray(np.stack(ys))
-    sb = jnp.asarray(np.stack(ss))
+    xb, yb, sb = common.to_device_blocked(
+        np.stack(xs), np.stack(ys), np.stack(ss)
+    )
     geom = geometry or pick_geometry(xb.shape[1], config.chunk_size)
     ws = np.asarray(batched_window_sums(xb, yb, sb, config, geom))
     return [common.window_sums_to_result(ws[i], config) for i in range(len(instances))]

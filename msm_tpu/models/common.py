@@ -40,6 +40,23 @@ def subtask_batch(geom, cfg: MsmConfig) -> int:
     return min(geom.subtask_batch, cfg.num_subtasks)
 
 
+def to_device_blocked(*arrs):
+    """jnp.asarray each host array and WAIT for the transfers to land
+    before returning — the entry-path staging rule for large inputs.
+
+    Why: on the axon relay, dispatching a program while a fresh multi-MB
+    upload is still in flight serializes ~4x slower than
+    transfer-then-dispatch (measured r5 at 2^20: plan call 1.76 s with the
+    async overlap vs 0.44 s blocked — scripts/hw_r05 session). Blocking
+    costs one extra relay round trip (~25 ms), so tiny transfers (< 1 MB
+    total) skip it and keep the async dispatch."""
+    out = [jnp.asarray(a) for a in arrs]
+    total = sum(getattr(o, "nbytes", 0) for o in out)
+    if total >= (1 << 20):
+        jax.block_until_ready(out)
+    return out
+
+
 def pad_size(n: int) -> int:
     """Next power of two >= max(n, 16) (reference pads to pow2,
     msm.rs:48-61)."""

@@ -264,17 +264,12 @@ def compute_msm_jpoint(
         geom = geometry or pick_geometry(
             n, config.chunk_size, compress=config.compress
         )
+        xd, yd, sd = common.to_device_blocked(x_u16, y_u16, s_u16)
         if _pallas_enabled():
-            pt = cuzk_msm_point(
-                jnp.asarray(x_u16), jnp.asarray(y_u16), jnp.asarray(s_u16),
-                config, geom,
-            )
+            pt = cuzk_msm_point(xd, yd, sd, config, geom)
             return common.std_point_to_jpoint(np.asarray(pt), config)
         # XLA-only path (CPU parity): host Horner, like the reference
-        ws = cuzk_window_sums(
-            jnp.asarray(x_u16), jnp.asarray(y_u16), jnp.asarray(s_u16),
-            config, geom,
-        )
+        ws = cuzk_window_sums(xd, yd, sd, config, geom)
         return common.window_sums_to_result(np.asarray(ws), config)
     from msm_tpu.oracle.pyecc import Curve
 
@@ -284,13 +279,12 @@ def compute_msm_jpoint(
     )
     acc: list | None = None
     for lo in range(0, n, CHUNK_MAX):
-        ws = cuzk_window_sums(
-            jnp.asarray(x_u16[lo : lo + CHUNK_MAX]),
-            jnp.asarray(y_u16[lo : lo + CHUNK_MAX]),
-            jnp.asarray(s_u16[lo : lo + CHUNK_MAX]),
-            config,
-            geom,
+        xd, yd, sd = common.to_device_blocked(
+            x_u16[lo : lo + CHUNK_MAX],
+            y_u16[lo : lo + CHUNK_MAX],
+            s_u16[lo : lo + CHUNK_MAX],
         )
+        ws = cuzk_window_sums(xd, yd, sd, config, geom)
         wj = common.window_sums_to_jpoints(np.asarray(ws), config)
         acc = wj if acc is None else [cv.add(a, b) for a, b in zip(acc, wj)]
     return common.horner_window_sums(acc, config)

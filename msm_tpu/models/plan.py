@@ -47,6 +47,24 @@ from msm_tpu.oracle.pyecc import Curve, JPoint
 from msm_tpu.params import MsmConfig, pick_config
 
 
+def _pack_scalar_words_host(s_all: np.ndarray) -> np.ndarray:
+    """[N, W] u16-in-int32 scalar words -> [N, W/2] packed int32 pairs.
+    Halves the per-call host->device scalar transfer (the only per-call
+    upload the plan pays; on the axon relay post-compute transfers run at
+    ~25-50 MB/s — see PERF_NOTES r5 relay note — so the packed wire
+    format directly halves serving latency there, and still saves ~2 ms
+    at PCIe rates)."""
+    assert s_all.shape[-1] % 2 == 0, s_all.shape
+    return s_all[..., 0::2] | (s_all[..., 1::2] << 16)
+
+
+def _unpack_scalar_words(s_packed: jax.Array) -> jax.Array:
+    """In-jit inverse of _pack_scalar_words_host: [..., W/2] -> [..., W]."""
+    lo = s_packed & 0xFFFF
+    hi = (s_packed >> 16) & 0xFFFF
+    return jnp.stack([lo, hi], axis=-1).reshape(*s_packed.shape[:-1], -1)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "num_rows"))
 def _prepare_table(
     x_u16: jax.Array, y_u16: jax.Array, cfg: MsmConfig, num_rows: int
@@ -90,20 +108,21 @@ def _chunk_ws_mont(tables, s_words, cfg, geom):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "geom"))
-def _plan_msm_point(tables, s_words, cfg: MsmConfig, geom: MsmGeometry):
-    """Cached table + scalar words -> ONE standard-form projective point
-    [3, L] (device Horner ladder; Pallas path)."""
+def _plan_msm_point(tables, s_packed, cfg: MsmConfig, geom: MsmGeometry):
+    """Cached table + packed scalar words -> ONE standard-form projective
+    point [3, L] (device Horner ladder; Pallas path)."""
     return cuzk.msm_point_from_ws(
-        _chunk_ws_mont(tables, s_words, cfg, geom), cfg
+        _chunk_ws_mont(tables, _unpack_scalar_words(s_packed), cfg, geom),
+        cfg,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "geom"))
-def _plan_window_sums_std(tables, s_words, cfg: MsmConfig, geom: MsmGeometry):
-    """Cached table + scalar words -> standard-form window sums [S, 3, L]
-    (XLA-fallback / multi-chunk path; host Horner finishes)."""
+def _plan_window_sums_std(tables, s_packed, cfg: MsmConfig, geom: MsmGeometry):
+    """Cached table + packed scalar words -> standard-form window sums
+    [S, 3, L] (XLA-fallback / multi-chunk path; host Horner finishes)."""
     ec = get_curve_ctx(cfg)
-    ws = _chunk_ws_mont(tables, s_words, cfg, geom)
+    ws = _chunk_ws_mont(tables, _unpack_scalar_words(s_packed), cfg, geom)
     return common.export_points_std(
         ec, PointBatch(ws[:, 0], ws[:, 1], ws[:, 2])
     )
@@ -111,35 +130,37 @@ def _plan_window_sums_std(tables, s_words, cfg: MsmConfig, geom: MsmGeometry):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "geom"))
 def _plan_msm_point_batched(
-    tables, s_words, cfg: MsmConfig, geom: MsmGeometry
+    tables, s_packed, cfg: MsmConfig, geom: MsmGeometry
 ):
-    """B scalar sets [B, C, W] sharing ONE cached table -> [B, 3, L]
-    standard-form points, one device program (sequential instances inside
-    the jit — device lanes are saturated by a single instance's scan, as
-    in ``models/batched.py``)."""
+    """B packed scalar sets [B, C, W/2] sharing ONE cached table ->
+    [B, 3, L] standard-form points, one device program (sequential
+    instances inside the jit — device lanes are saturated by a single
+    instance's scan, as in ``models/batched.py``)."""
 
     def one(ss):
         return cuzk.msm_point_from_ws(
-            _chunk_ws_mont(tables, ss, cfg, geom), cfg
+            _chunk_ws_mont(tables, _unpack_scalar_words(ss), cfg, geom),
+            cfg,
         )
 
-    return jax.lax.map(one, s_words, batch_size=1)
+    return jax.lax.map(one, s_packed, batch_size=1)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "geom"))
 def _plan_window_sums_std_batched(
-    tables, s_words, cfg: MsmConfig, geom: MsmGeometry
+    tables, s_packed, cfg: MsmConfig, geom: MsmGeometry
 ):
-    """Batched XLA-fallback / multi-chunk variant: [B, C, W] -> [B, S, 3, L]."""
+    """Batched XLA-fallback / multi-chunk variant: [B, C, W/2] ->
+    [B, S, 3, L]."""
 
     def one(ss):
         ec = get_curve_ctx(cfg)
-        ws = _chunk_ws_mont(tables, ss, cfg, geom)
+        ws = _chunk_ws_mont(tables, _unpack_scalar_words(ss), cfg, geom)
         return common.export_points_std(
             ec, PointBatch(ws[:, 0], ws[:, 1], ws[:, 2])
         )
 
-    return jax.lax.map(one, s_words, batch_size=1)
+    return jax.lax.map(one, s_packed, batch_size=1)
 
 
 class MsmPlan:
@@ -171,13 +192,12 @@ class MsmPlan:
         for lo in range(0, self.N, self._chunk_n):
             slices = []
             for s0 in range(lo, lo + self._chunk_n, self._slice_n):
+                xd, yd = common.to_device_blocked(
+                    x_u16[s0 : s0 + self._slice_n],
+                    y_u16[s0 : s0 + self._slice_n],
+                )
                 slices.append(
-                    _prepare_table(
-                        jnp.asarray(x_u16[s0 : s0 + self._slice_n]),
-                        jnp.asarray(y_u16[s0 : s0 + self._slice_n]),
-                        self.cfg,
-                        self.geom.num_rows,
-                    )
+                    _prepare_table(xd, yd, self.cfg, self.geom.num_rows)
                 )
             self._tables.append(
                 jax.tree.map(lambda *xs: jnp.stack(xs), *slices)
@@ -208,10 +228,10 @@ class MsmPlan:
         return common.pad_scalars_words(list(scalars), self.cfg, self.N)
 
     def _chunk_scalars(self, s_all: np.ndarray) -> list[jax.Array]:
-        return [
-            jnp.asarray(s_all[lo : lo + self._chunk_n])
+        return common.to_device_blocked(*[
+            _pack_scalar_words_host(s_all[lo : lo + self._chunk_n])
             for lo in range(0, self.N, self._chunk_n)
-        ]
+        ])
 
     def jpoint(self, scalars) -> JPoint:
         """Run the plan over one scalar set -> oracle JPoint."""
@@ -219,9 +239,8 @@ class MsmPlan:
 
         s_all = self._scalar_words(scalars)
         if len(self._tables) == 1 and _pallas_enabled():
-            pt = _plan_msm_point(
-                self._tables[0], jnp.asarray(s_all), self.cfg, self.geom
-            )
+            (sd,) = common.to_device_blocked(_pack_scalar_words_host(s_all))
+            pt = _plan_msm_point(self._tables[0], sd, self.cfg, self.geom)
             return common.std_point_to_jpoint(np.asarray(pt), self.cfg)
         # multi-chunk (or XLA fallback): standard-form window sums per
         # chunk, exact-int merge + host Horner (compute_msm_jpoint's tail)
@@ -250,8 +269,9 @@ class MsmPlan:
         s_all = np.stack([self._scalar_words(k) for k in scalar_sets])
         B = s_all.shape[0]
         if len(self._tables) == 1 and _pallas_enabled():
+            (sd,) = common.to_device_blocked(_pack_scalar_words_host(s_all))
             pts = _plan_msm_point_batched(
-                self._tables[0], jnp.asarray(s_all), self.cfg, self.geom
+                self._tables[0], sd, self.cfg, self.geom
             )
             arr = np.asarray(pts)
             return [
@@ -262,11 +282,11 @@ class MsmPlan:
         accs: list[list[JPoint] | None] = [None] * B
         for ci, tab in enumerate(self._tables):
             lo = ci * self._chunk_n
+            (sd,) = common.to_device_blocked(
+                _pack_scalar_words_host(s_all[:, lo : lo + self._chunk_n])
+            )
             ws = _plan_window_sums_std_batched(
-                tab,
-                jnp.asarray(s_all[:, lo : lo + self._chunk_n]),
-                self.cfg,
-                self.geom,
+                tab, sd, self.cfg, self.geom
             )
             arr = np.asarray(ws)
             for b in range(B):

@@ -71,11 +71,17 @@ def pe_pack16(cfg: MsmConfig) -> bool:
     at pallas_curve._make_field_ops BOUND) and ~2^(s+2) (top limb: REDC
     value <= ~32p over 2^(w(L-1)), s the renorm fold shift). Both must
     clear int16: production w=13 curves pass with >= 4x headroom; w>=15
-    never packs. Env override MSM_TPU_PE_PACK=0 forces the unpacked
-    layout (hardware A/B; note make_scan_rows caches per-process)."""
+    never packs.
+
+    DEFAULT OFF (r5 hardware kill): at 2^20 the packed emission measured
+    433 ms vs 406 for the plain (3L, tile) transpose — Mosaic's fused
+    transpose is cheaper than the 30-way packed-pair concat the pack
+    needs (strided sublane slices do not lower), and the halved pe HBM
+    traffic does not pay it back. Opt in with MSM_TPU_PE_PACK=1 for
+    future Mosaic stacks (note make_scan_rows caches per-process)."""
     import os
 
-    if os.environ.get("MSM_TPU_PE_PACK", "1") == "0":
+    if os.environ.get("MSM_TPU_PE_PACK", "0") != "1":
         return False
     w, L = cfg.word_size, cfg.num_words
     pbits = cfg.curve.modulus.bit_length()
@@ -302,6 +308,10 @@ def make_scan_rows(
         # pe store traffic.
         cat = jnp.concatenate([x3, y3, z3], axis=0)  # [3L, tile]
         if P != 3 * L:
+            # pair-concat form: strided sublane slices (cat[0::2]) do NOT
+            # lower in Mosaic (gather shape mismatch) — the 30-way concat
+            # of packed row pairs is the expressible formulation, measured
+            # +27 ms vs the plain transpose at 2^20 (see pe_pack16)
             pairs = [
                 (cat[i : i + 1] & 0xFFFF) | (cat[i + 1 : i + 2] << 16)
                 for i in range(0, 3 * L - 1, 2)

@@ -144,6 +144,8 @@ def compute_msm_sharded(
         xd = jax.device_put(jnp.asarray(x_u16), sharding)
         yd = jax.device_put(jnp.asarray(y_u16), sharding)
         sd = jax.device_put(jnp.asarray(s_u16), sharding)
+        # land the uploads before dispatch (common.to_device_blocked note)
+        jax.block_until_ready([xd, yd, sd])
         ws = sharded_window_sums(xd, yd, sd, config, geom, mesh, axis)
         return common.window_sums_to_result(np.asarray(ws), config)
     from msm_tpu.oracle.pyecc import Curve
@@ -161,6 +163,7 @@ def compute_msm_sharded(
         sd = jax.device_put(
             jnp.asarray(s_u16[lo : lo + chunk_global]), sharding
         )
+        jax.block_until_ready([xd, yd, sd])
         ws = sharded_window_sums(xd, yd, sd, config, geom, mesh, axis)
         wj = common.window_sums_to_jpoints(np.asarray(ws), config)
         acc = wj if acc is None else [cv.add(a, b) for a, b in zip(acc, wj)]

@@ -19,10 +19,12 @@ set -x
 mkdir -p /tmp/hw_r05
 cd "$(dirname "$0")/.."
 
+# NOTE: after the r5 session the pack default flipped to OFF (it measured
+# 433 vs 406 ms) — bench_base is now the r4 layout; =1 opts the pack in
 timeout 1200 python bench.py 2>&1 | tee /tmp/hw_r05/bench_base.log
 
-MSM_TPU_PE_PACK=0 timeout 1200 python bench.py 2>&1 \
-    | tee /tmp/hw_r05/bench_nopack.log
+MSM_TPU_PE_PACK=1 timeout 1200 python bench.py 2>&1 \
+    | tee /tmp/hw_r05/bench_pack.log
 MSM_TPU_PE_LAYOUT=cpr timeout 1200 python bench.py 2>&1 \
     | tee /tmp/hw_r05/bench_cpr.log
 

@@ -348,13 +348,17 @@ def test_mxu_bucket_hist_matches_numpy():
     assert (ends == np.cumsum(want)).all()
 
 
-def test_pe_pack16_gate_and_roundtrip():
-    """The int16 pe pair-packing gate (r5, VERDICT item 2): active exactly
-    when the static limb bounds clear int16 — all shipped w=13 curves pack;
-    w=15/16 never do. Roundtrip exactness on the full bound range."""
+def test_pe_pack16_gate_and_roundtrip(monkeypatch):
+    """The int16 pe pair-packing gate (r5): opt-in via MSM_TPU_PE_PACK=1
+    (measured slower than the plain transpose on this Mosaic stack — see
+    pe_pack16), active exactly when the static limb bounds clear int16 —
+    all shipped w=13 curves pack; w=15/16 never do. Roundtrip exactness
+    on the full bound range."""
     from msm_tpu.ops.pallas_scan import pe_pack16, pe_row_words, unpack_pe_rows
     from msm_tpu.params import CURVES
 
+    assert not pe_pack16(MsmConfig(curve=BN254))  # default OFF
+    monkeypatch.setenv("MSM_TPU_PE_PACK", "1")
     for name, spec in CURVES.items():
         cfg13 = MsmConfig(curve=spec, word_size=13)
         assert pe_pack16(cfg13), name  # production word size always packs
@@ -376,3 +380,30 @@ def test_pe_pack16_gate_and_roundtrip():
     assert packed.shape[-1] == pe_row_words(cfg)
     got = unpack_pe_rows(packed, cfg)
     assert bool(jnp.all(got == limbs))
+    # kernel-level packed emission parity (interpret): distinct geometry
+    # so the lru_cached factory cannot collide with unpacked-built scans
+    ec = get_curve_ctx(cfg)
+    cv = Curve(cfg.curve)
+    C, R = 2, 256
+    n = C * R
+    aff = [cv.to_affine(p) for p in cv.sample_points(16, seed=21)]
+    pts_a = [aff[i % 16] for i in range(n)]
+    x_u16, y_u16, _ = common.pad_inputs(pts_a, [0] * n, cfg)
+    pts = common.u16_to_mont_points(
+        ec, jnp.asarray(x_u16)[:n], jnp.asarray(y_u16)[:n]
+    )
+    signs = jnp.zeros((n,), jnp.int32)
+    packed_in = common.pack_points(pts, cfg)
+    W = 2 * coord_words(cfg)
+    pe3, _, _, _ = make_scan_rows(cfg, C, R, tile=128, interpret=True)(
+        packed_in.reshape(R, C, W).swapaxes(0, 1).swapaxes(1, 2),
+        signs.reshape(R, C).swapaxes(0, 1).reshape(C, 1, R),
+    )
+    assert pe3.shape[-1] == (3 * cfg.num_words + 1) // 2  # packed rows
+    L = cfg.num_words
+    pe3 = unpack_pe_rows(pe3, cfg)
+    got_pts = PointBatch(
+        pe3[..., :L], pe3[..., L : 2 * L], pe3[..., 2 * L :]
+    )
+    want, _ = blocked_prefix_scan(ec, pts, R)
+    assert bool(jnp.all(ec.eq(want, got_pts)))
