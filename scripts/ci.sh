@@ -3,14 +3,17 @@
 #
 # Tiers:
 #   fast (default):  python -m pytest tests/ -q
-#       ~15 min cold on the 1-core bench box (a fresh clone pays the full
-#       XLA compile; tests/.jax_cache is populated on the first run and
-#       NOT committed — .gitignore excludes it — so repeat runs drop to
-#       ~11-12 min warm). Includes the AOT
+#       ~22-25 min cold on the 1-core bench box (a fresh clone pays the
+#       full XLA compile; tests/.jax_cache is populated on the first run
+#       and NOT committed — .gitignore excludes it — so repeat runs drop
+#       to ~12-14 min warm). Includes the AOT
 #       TPU-lowering gate for the production pipeline, the
-#       shard_map x Pallas interpret co-test, kernel-family parity tests
-#       (scan, curve, hist, offsets, Horner), chunk-8 e2e across all six
-#       curves, and the sliced/chunked branch tests.
+#       shard_map x Pallas interpret co-test (incl. the r5 sliced/chunked
+#       sharded composition), kernel-family parity tests
+#       (scan, curve, hist, offsets, Horner, karatsuba, pe-pack),
+#       chunk-8 e2e across all seven curves, the magnitude-invariant
+#       regression (3 representative params), and the sliced/chunked
+#       branch tests.
 #   full (this script): --runslow adds the frozen-feature sweeps
 #       (glv/compress e2e + device-split), the chunk-16 interpret e2e,
 #       the 2-process multihost test, the glv+compress lowering and

@@ -208,14 +208,13 @@ def test_bls12_377_curve_ops():
         # all 7 curves x {production, small} chunk sizes: the renorm
         # fold's bound depends on fold_s = f(modulus_bits, word_size, L),
         # which varies with each curve's slack (VERDICT r4 item 9). The
-        # original r4 repro is secp256k1 chunk 13. Four representative
+        # original r4 repro is secp256k1 chunk 13. Three representative
         # params stay in the default tier (~45 s each: the repro, the
-        # max-slack BN254, the zero-slack L=30 BLS12-381, the r4-new
-        # cycle partner); the full 7x2 sweep runs in the slow tier.
+        # max-slack BN254, the r4-new cycle partner); the full 7x2 sweep
+        # incl. the zero-slack L=30 BLS curves runs in the slow tier.
         (name, chunk)
         if (name, chunk) in (
-            ("secp256k1", 13), ("bn254", 8), ("bls12_381", 13),
-            ("vesta", 8),
+            ("secp256k1", 13), ("bn254", 8), ("vesta", 8),
         )
         else pytest.param(name, chunk, marks=pytest.mark.slow)
         for name in (

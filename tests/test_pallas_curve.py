@@ -26,7 +26,10 @@ def _rand_limbs(rng, shape, signed=False):
     )
 
 
-@pytest.mark.parametrize("curve_name", ["bn254", "bls12_377"])
+@pytest.mark.parametrize(
+    "curve_name",
+    ["bn254", pytest.param("bls12_377", marks=pytest.mark.slow)],
+)
 def test_pallas_add_karatsuba_matches_xla(curve_name):
     """Difference-Karatsuba phase-1 (cfg.karatsuba) vs the XLA CurveCtx:
     value parity on random balanced limbs. BLS12-377 is the tightest
