@@ -381,8 +381,10 @@ def bench_plan(args) -> None:
         _pack_scalar_words_host, _plan_msm_point,
     )
 
+    from msm_tpu.ops.curve import _pallas_enabled as _pe
+
     program_ms = None
-    if len(plan._tables) == 1:
+    if len(plan._tables) == 1 and _pe():
         sd = _jnp.asarray(_pack_scalar_words_host(
             plan._scalar_words(s_words[0])
         ))
@@ -397,6 +399,7 @@ def bench_plan(args) -> None:
         print(f"[bench] plan program (scalars staged): {program_ms:.1f} ms",
               file=sys.stderr)
     batch_ms = None
+    batch_program_ms = None
     if B > 1:
         plan.run_batch(s_words)  # compile + warm
         times = []
@@ -418,6 +421,28 @@ def bench_plan(args) -> None:
                   file=sys.stderr)
         print(f"[bench] plan batch B={B}: {batch_ms:.2f} ms/instance",
               file=sys.stderr)
+        # staged-batch program: ALL B packed scalar sets resident before
+        # dispatch — the shared-table serving throughput a real-silicon
+        # deployment pays per instance (same convention as program_ms)
+        from msm_tpu.ops.curve import _pallas_enabled
+
+        if len(plan._tables) == 1 and _pallas_enabled():
+            from msm_tpu.models.plan import _plan_msm_point_batched
+
+            s_all = np.stack([plan._scalar_words(s) for s in s_words])
+            sd = _jnp.asarray(_pack_scalar_words_host(s_all))
+            _jax.block_until_ready(sd)
+            times = []
+            for _ in range(args.reps):
+                t0 = time.time()
+                pts_b = _plan_msm_point_batched(
+                    plan._tables[0], sd, plan.cfg, plan.geom
+                )
+                np.asarray(pts_b)
+                times.append(time.time() - t0)
+            batch_program_ms = min(times) / B * 1e3
+            print(f"[bench] plan batch program (scalars staged): "
+                  f"{batch_program_ms:.2f} ms/instance", file=sys.stderr)
     best = min(call_ms, batch_ms) if batch_ms else call_ms
     print(json.dumps({
         "metric": f"{cfg.curve.name}_plan_msm_2^{args.size}_per_instance",
@@ -428,6 +453,8 @@ def bench_plan(args) -> None:
         **({"batch_ms_per_instance": round(batch_ms, 2)} if batch_ms
            else {}),
         **({"program_ms": round(program_ms, 2)} if program_ms else {}),
+        **({"batch_program_ms_per_instance": round(batch_program_ms, 2)}
+           if batch_program_ms else {}),
         "relay_note": "call_ms includes the axon-relay post-compute "
         "transfer floor (~25-50 MB/s); program_ms is the device serving "
         "latency with scalars staged (PERF_NOTES r5 relay note)",
