@@ -39,14 +39,36 @@ import numpy as np
 BASELINE_MS = 2000.0  # documented estimate; see module docstring
 
 
-def _axon_relay_up(timeout: float = 5.0) -> bool:
-    """True if the axon TPU relay accepts connections on 127.0.0.1:8083."""
+def _axon_relay_up(timeout: float = 5.0, deep: bool = True) -> bool:
+    """True if the axon TPU relay is actually SERVING on 127.0.0.1:8083.
+
+    A TCP-connect probe alone is not enough: the outage mode observed in
+    round 5 is a relay that still accepts connections but hangs device
+    init (and in-flight dispatches) forever. So after the port check,
+    spawn a fresh subprocess and require ``jax.devices()`` to complete
+    within BENCH_RELAY_PROBE_S (default 240 s — generous because a cold
+    import under CPU contention is slow; a healthy relay answers in
+    seconds). The driver runs this unattended: a hang here would stall
+    the whole round, so err on the side of declaring the relay down."""
+    import os
     import socket
+    import subprocess
 
     try:
         with socket.create_connection(("127.0.0.1", 8083), timeout=timeout):
-            return True
+            pass
     except OSError:
+        return False
+    if not deep:
+        return True
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=float(os.environ.get("BENCH_RELAY_PROBE_S", "240")),
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
         return False
 
 
@@ -70,12 +92,12 @@ def _guard_backend(allow_cpu_fallback: bool) -> bool:
         return True
     if _axon_relay_up():
         return False
-    wait_s = float(os.environ.get("BENCH_RELAY_WAIT_S", "180"))
+    wait_s = float(os.environ.get("BENCH_RELAY_WAIT_S", "900"))
     deadline = time.time() + wait_s
     print(f"[bench] axon relay down; retrying probe up to {wait_s:.0f}s",
           file=sys.stderr)
     while time.time() < deadline:
-        time.sleep(10)
+        time.sleep(30)
         if _axon_relay_up():
             return False
     if allow_cpu_fallback:
