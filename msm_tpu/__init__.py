@@ -38,6 +38,7 @@ __all__ = [
     "MsmConfig",
     "cpu_msm",
     "plan",
+    "plan_sharded",
     "run_tpu_msm",
     "run_tpu_msm_batched",
     "run_tpu_msm_sharded",
@@ -68,6 +69,17 @@ def plan(points, config=None, validate=False):
     from msm_tpu.models.plan import MsmPlan
 
     return MsmPlan(points, config=config, validate=validate)
+
+
+def plan_sharded(points, mesh=None, config=None, validate=False):
+    """Multi-chip serving plan: like ``plan`` but the cached point table is
+    a SHARDED jax.Array over a device mesh (defaults to all devices) — each
+    chip converts and holds only its own point shard at build time, and
+    every call runs the scalar-side pipeline compute-local per chip with
+    the KB-size all_gather + point-add-tree merge of the sharded path."""
+    from msm_tpu.parallel.sharded_plan import ShardedMsmPlan
+
+    return ShardedMsmPlan(points, mesh=mesh, config=config, validate=validate)
 
 
 def run_tpu_msm_batched(instances, config=DEFAULT_CONFIG):

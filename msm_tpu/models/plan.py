@@ -58,6 +58,33 @@ def _pack_scalar_words_host(s_all: np.ndarray) -> np.ndarray:
     return s_all[..., 0::2] | (s_all[..., 1::2] << 16)
 
 
+def scalars_to_words(scalars, cfg: MsmConfig, n: int, N: int) -> np.ndarray:
+    """Scalars -> padded u16-word array [N, W]. Accepts a list of ints
+    (host-serialized with the out-of-range reduction of ``pad_inputs``)
+    or a pre-packed word array of shape [n, W] / [N, W] (int dtype,
+    little-endian 16-bit words; caller guarantees k < order — the fast
+    serving path that skips python-int serialization entirely). Shared by
+    the single-device (``MsmPlan``) and multi-chip
+    (``parallel.sharded_plan.ShardedMsmPlan``) serving plans."""
+    nb = (cfg.scalar_bits + 7) // 8
+    W = nb // 2
+    if isinstance(scalars, np.ndarray):
+        assert scalars.ndim == 2 and scalars.shape[1] == W, (
+            f"expected scalar words [n, {W}], got {scalars.shape}"
+        )
+        assert scalars.shape[0] in (n, N), (
+            f"expected {n} (or padded {N}) scalars, got "
+            f"{scalars.shape[0]}"
+        )
+        out = np.zeros((N, W), np.int32)
+        out[: scalars.shape[0]] = scalars
+        return out
+    assert len(scalars) == n, (
+        f"plan built over {n} points, got {len(scalars)} scalars"
+    )
+    return common.pad_scalars_words(list(scalars), cfg, N)
+
+
 def _unpack_scalar_words(s_packed: jax.Array) -> jax.Array:
     """In-jit inverse of _pack_scalar_words_host: [..., W/2] -> [..., W]."""
     lo = s_packed & 0xFFFF
@@ -204,28 +231,7 @@ class MsmPlan:
             )
 
     def _scalar_words(self, scalars) -> np.ndarray:
-        """Scalars -> padded u16-word array [N, W]. Accepts a list of ints
-        (host-serialized with the out-of-range reduction of ``pad_inputs``)
-        or a pre-packed word array of shape [n, W] / [N, W] (int dtype,
-        little-endian 16-bit words; caller guarantees k < order — the fast
-        serving path that skips python-int serialization entirely)."""
-        nb = (self.cfg.scalar_bits + 7) // 8
-        W = nb // 2
-        if isinstance(scalars, np.ndarray):
-            assert scalars.ndim == 2 and scalars.shape[1] == W, (
-                f"expected scalar words [n, {W}], got {scalars.shape}"
-            )
-            assert scalars.shape[0] in (self.n, self.N), (
-                f"expected {self.n} (or padded {self.N}) scalars, got "
-                f"{scalars.shape[0]}"
-            )
-            out = np.zeros((self.N, W), np.int32)
-            out[: scalars.shape[0]] = scalars
-            return out
-        assert len(scalars) == self.n, (
-            f"plan built over {self.n} points, got {len(scalars)} scalars"
-        )
-        return common.pad_scalars_words(list(scalars), self.cfg, self.N)
+        return scalars_to_words(scalars, self.cfg, self.n, self.N)
 
     def _chunk_scalars(self, s_all: np.ndarray) -> list[jax.Array]:
         return common.to_device_blocked(*[

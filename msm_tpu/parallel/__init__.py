@@ -5,5 +5,12 @@ from msm_tpu.parallel.sharded import (
     default_mesh,
     sharded_window_sums,
 )
+from msm_tpu.parallel.sharded_plan import ShardedMsmPlan, plan_sharded
 
-__all__ = ["compute_msm_sharded", "default_mesh", "sharded_window_sums"]
+__all__ = [
+    "ShardedMsmPlan",
+    "compute_msm_sharded",
+    "default_mesh",
+    "plan_sharded",
+    "sharded_window_sums",
+]
